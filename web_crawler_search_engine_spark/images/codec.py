@@ -1,0 +1,163 @@
+"""Image codecs + perceptual hashing for the image+caption payload.
+
+This container has no PIL/libjpeg, so:
+
+  * ``png``: a REAL minimal PNG codec (RGB8, filter 0) built on the
+    public PNG spec with stdlib ``zlib``/``struct`` — lossless path.
+  * ``jpeg``: a STUB for real JPEG — a deterministic fake lossy codec
+    (uniform quantization to step 4, then PNG-container). It is
+    deterministic, loses information like a real lossy codec, and its
+    reconstruction error keeps PSNR >= 40 dB, so the U7 invariant
+    pipeline (decode -> PSNR -> phash recompute) exercises the same
+    Spark plumbing a libjpeg build would. Swap `_lossy_*` for PIL
+    when available.
+
+The phash is the classic 64-bit DCT hash (32x32 grayscale -> 2D
+DCT-II -> top-left 8x8 minus DC -> median sign bits). All numpy,
+vectorized per batch by the caller (images/udfs.py).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_LOSSY_MARK = b"WCSELQ1\x00"  # fake-lossy container magic
+_QSTEP = 4  # quantization step of the fake lossy codec
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(rgb: np.ndarray) -> bytes:
+    """RGB8 (h, w, 3) -> PNG bytes (color type 2, bit depth 8, filter 0)."""
+    assert rgb.dtype == np.uint8 and rgb.ndim == 3 and rgb.shape[2] == 3
+    h, w = rgb.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), rgb.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes -> RGB8 array. Supports what png_encode emits
+    (RGB8, filter 0 per scanline) plus filters 1/2 for robustness."""
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            assert depth == 8 and ctype == 2, "codec supports RGB8 only"
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * 3 + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int16)
+    out = np.zeros_like(rows)
+    for y in range(h):
+        r = rows[y].copy()
+        if filters[y] == 1:  # Sub
+            for x in range(3, w * 3):
+                r[x] = (r[x] + r[x - 3]) % 256
+        elif filters[y] == 2:  # Up
+            if y:
+                r = (r + out[y - 1]) % 256
+        elif filters[y] != 0:
+            raise ValueError(f"unsupported PNG filter {filters[y]}")
+        out[y] = r
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+def lossy_encode(rgb: np.ndarray) -> bytes:
+    """STUB for JPEG (no libjpeg in this container): deterministic
+    uniform quantization to step 4 + PNG container. Max channel error
+    2 => PSNR ~ 42-48 dB, inside the >=40 dB invariant band."""
+    q = ((rgb.astype(np.int16) + _QSTEP // 2) // _QSTEP * _QSTEP).clip(0, 255)
+    return _LOSSY_MARK + png_encode(q.astype(np.uint8))
+
+
+def lossy_decode(data: bytes) -> np.ndarray:
+    assert data[: len(_LOSSY_MARK)] == _LOSSY_MARK, "not a fake-lossy blob"
+    return png_decode(data[len(_LOSSY_MARK) :])
+
+
+def encode(rgb: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(rgb)
+    if fmt == "jpeg":
+        return lossy_encode(rgb)
+    raise NotImplementedError(f"format {fmt!r} (real JPEG needs libjpeg/PIL)")
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "jpeg":
+        return lossy_decode(data)
+    raise NotImplementedError(f"format {fmt!r} (real JPEG needs libjpeg/PIL)")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(20 * np.log10(255.0) - 10 * np.log10(mse))
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.cos(np.pi * k * (2 * i + 1) / (2 * n)) * np.sqrt(2.0 / n)
+        m[0] /= np.sqrt(2.0)
+        _DCT32 = m
+    return _DCT32
+
+
+def phash64(rgb: np.ndarray) -> int:
+    """Classic 64-bit DCT perceptual hash, deterministic.
+
+    32x32 grayscale via exact box downsample (corpus dims are
+    multiples of 32) -> 2D DCT-II -> 8x8 low-frequency block -> bits =
+    (coef > median), MSB-first, returned as signed int64 (Spark
+    LongType-compatible).
+    """
+    h, w = rgb.shape[:2]
+    gray = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    if (h, w) != (32, 32):
+        assert h % 32 == 0 and w % 32 == 0, "dims must be multiples of 32"
+        gray = gray.reshape(32, h // 32, 32, w // 32).mean(axis=(1, 3))
+    m = _dct_matrix(32)
+    coef = m @ gray @ m.T
+    block = coef[:8, :8].flatten()
+    med = np.median(block[1:])  # exclude DC from the median
+    bits = (block > med).astype(np.uint64)
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    return int(np.int64(val))
