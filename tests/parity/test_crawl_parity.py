@@ -1,0 +1,124 @@
+"""Scheduler/seen-set parity: Spark engine vs the oracle simulators
+(SURVEY.md §5.3 rows 2-3, the north_rule's bit-for-bit contract)."""
+
+import pytest
+
+from tests.oracle.simulator import RoundSim, SingleWorkerSim
+from web_crawler_search_engine_spark.plans.crawl import CrawlConfig, CrawlJob
+from web_crawler_search_engine_spark.sources.corpus import (
+    POLITENESS,
+    USER_AGENT,
+    corpus_df,
+    generate_world,
+    robots_src_df,
+)
+
+T = 4.0
+
+
+@pytest.fixture(scope="module")
+def world():
+    return generate_world(n=120, hosts=5, seed=42, with_images=False)
+
+
+@pytest.fixture(scope="module")
+def round_oracle(world):
+    sim = RoundSim(
+        world.by_url(),
+        world.robots,
+        world.root_domains,
+        user_agent=USER_AGENT,
+        politeness=POLITENESS,
+        round_duration=T,
+    )
+    return sim.run(world.seeds)
+
+
+def _make_job(spark, world, tmp, use_bloom=True):
+    cfg = CrawlConfig(
+        root_domains=world.root_domains,
+        user_agent=USER_AGENT,
+        politeness=POLITENESS,
+        round_duration=T,
+        use_bloom=use_bloom,
+    )
+    return CrawlJob(
+        spark,
+        corpus_df(spark, world),
+        robots_src_df(spark, world),
+        cfg,
+        checkpoint_dir=str(tmp),
+    )
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, world, tmp_path_factory):
+    job = _make_job(spark, world, tmp_path_factory.mktemp("ckpt"))
+    job.start(world.seeds)
+    job.run(max_rounds=60)
+    return job
+
+
+def test_per_round_admitted_sequences_bitforbit(engine_run, round_oracle):
+    got = engine_run.admitted_sequences()
+    want = {r: seq for r, seq in round_oracle.rounds.items() if seq}
+    assert got == want
+
+
+def test_final_seen_set_and_statuses_bitforbit(engine_run, round_oracle):
+    got = engine_run.final_state()
+    want = {u: (st, round_oracle.lengths[u]) for u, st in round_oracle.statuses.items()}
+    assert got == want
+
+
+def test_token_stats_bitforbit(engine_run, round_oracle):
+    got = {
+        r["token"]: r["count"] for r in engine_run.token_stats.collect()
+    }
+    assert got == round_oracle.token_counts
+
+
+def test_round_model_closure_matches_single_worker_reference(world, round_oracle):
+    """Model B (engine contract) run to exhaustion reaches the same
+    URL-seen set, statuses, lengths, and token counts as Model A (the
+    reference's single-worker logical-clock schedule)."""
+    sw = SingleWorkerSim(
+        world.by_url(),
+        world.robots,
+        world.root_domains,
+        user_agent=USER_AGENT,
+        politeness=POLITENESS,
+    ).run(world.seeds)
+    assert sw.seen == round_oracle.seen
+    assert sw.statuses == round_oracle.statuses
+    assert sw.lengths == round_oracle.lengths
+    assert sw.token_counts == round_oracle.token_counts
+    # per-host fetch order equals per-host discovery order in each
+    # model; the sets must agree host by host
+    assert {h: set(v) for h, v in sw.host_order.items()} == {
+        h: set(v) for h, v in round_oracle.host_order.items()
+    }
+
+
+def test_bloom_off_identical(spark, world, tmp_path_factory, engine_run):
+    job = _make_job(spark, world, tmp_path_factory.mktemp("ckpt_nb"), use_bloom=False)
+    job.start(world.seeds)
+    job.run(max_rounds=60)
+    assert job.final_state() == engine_run.final_state()
+    assert job.admitted_sequences() == engine_run.admitted_sequences()
+
+
+def test_resume_mid_crawl_equals_uninterrupted(
+    spark, world, tmp_path_factory, engine_run
+):
+    ckpt = tmp_path_factory.mktemp("ckpt_resume")
+    job = _make_job(spark, world, ckpt)
+    job.start(world.seeds)
+    job.run_round()
+    job.run_round()
+    # simulate a kill: brand-new job object resumes from the snapshot
+    job2 = _make_job(spark, world, ckpt)
+    assert job2.resume() == 2
+    job2.run(max_rounds=60)
+    assert job2.final_state() == engine_run.final_state()
+    assert job2.admitted_sequences() == engine_run.admitted_sequences()
