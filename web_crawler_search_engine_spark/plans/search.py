@@ -1,0 +1,79 @@
+"""Search: query -> token n-grams -> postings lookup -> score sum ->
+top-5 -> doc-metadata join (SURVEY §3.3, start_search_engine.py).
+
+Catalyst plan: scan-with-token-pushdown (isin on the bucketed token
+column replaces the reference's index_of_index byte seeks) ->
+partial/final agg -> TakeOrderedAndProject -> BroadcastHashJoin with
+the tiny docs table. Query prep (C2/C3/C12) is driver-side Python —
+queries are single strings, not data.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.stemming import stem
+
+_WORD_RE = re.compile(r"\b[a-zA-Z0-9]+\b")
+
+
+def _base_tokens(query: str) -> list[str]:
+    """start_search_engine.py:50: lowercase alnum words; numeric only
+    when <= 4 chars."""
+    return [
+        t.lower()
+        for t in _WORD_RE.findall(query)
+        if not t.isnumeric() or len(t) <= 4
+    ]
+
+
+def query_tokens(query: str) -> list[str]:
+    """start_search_engine.py:46-62: n-grams with n = clamp(len-1,1,3)
+    over raw tokens, plus stemmed n-grams not already present."""
+    tokens = _base_tokens(query)
+    stemmed = [stem(t) for t in tokens]
+    n = min(max(1, len(tokens) - 1), 3)
+    grams = [tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    for g in (tuple(stemmed[i : i + n]) for i in range(len(stemmed) - n + 1)):
+        if g not in grams:
+            grams.append(g)
+    return [" ".join(g) for g in grams]
+
+
+def fallback_tokens(query: str) -> list[str]:
+    """start_search_engine.py:38-43: stemmed unigrams."""
+    return [stem(t) for t in _base_tokens(query)]
+
+
+def topk(
+    postings: DataFrame, tokens: list[str], k: int = 5
+) -> DataFrame:
+    """J4 semi-filter + A9 aggregate + O4 top-k. Ties broken by
+    doc_id asc (the reference's tie order is dict-insertion order —
+    not deterministic; this contract is, both here and in the oracle)."""
+    if not tokens:
+        return postings.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+    return (
+        postings.filter(F.col("token").isin(tokens))
+        .groupBy("doc_id")
+        .agg(F.sum("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def search(postings: DataFrame, docs: DataFrame, query: str, k: int = 5) -> DataFrame:
+    """Full query lifecycle incl. the empty-result stemmed-unigram
+    fallback re-query (start_search_engine.py:38-43)."""
+    res = topk(postings, query_tokens(query), k)
+    rows = res.collect()
+    if not rows:
+        res = topk(postings, fallback_tokens(query), k)
+    return (
+        res.join(F.broadcast(docs), "doc_id")
+        .select("doc_id", "url", "title", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
