@@ -634,3 +634,584 @@ ORACLE_SQL = {
     "q_hourly_events": _SQL_HOURLY,
     "q_sessionize": _SQL_SESSIONIZE,
 }
+
+
+# ===========================================================================
+# Batch 2 — large-scale training-data pipeline operators (north_rule
+# first-class components): dedup family, ANN similarity search, text
+# analysis. All JVM-side Column expressions; the cross-engine random
+# stream is the portable md5-prefix hash (see module docstring).
+# ===========================================================================
+
+
+def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic clones (every 7th doc re-appears under
+    doc_id+100000) so dedup queries have known positives — the synthetic
+    corpus itself is duplicate-free."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dupes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+    )
+    return docs.unionByName(dupes)
+
+
+_DOCS_DUPES_SQL = """
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, source FROM documents
+  WHERE doc_id % 7 = 0
+"""
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """Distinct word 3-shingles per doc, built JVM-side from the token
+    array (no UDF, no shuffle)."""
+    tri = F.expr(
+        "transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
+        " i -> concat_ws(' ', element_at(split(text,' '), i),"
+        " element_at(split(text,' '), i + 1),"
+        " element_at(split(text,' '), i + 2)))"
+    )
+    return df.select("doc_id", F.explode(tri).alias("sh")).distinct()
+
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(arr) - 1, 1)),
+                i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM dd)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 17. MinHash + LSH near-duplicate candidates
+#     (shingle → k minhashes → band → bucket self-join)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for near-dup detection: 8 minhash permutations (min of
+    seeded portable hash over shingles), 4 bands × 2 rows, candidate
+    pairs from band-bucket self-join. At 100 TB each stage is a single
+    shuffle on (band, key) with no pairwise blowup; the exact-jaccard
+    verify (q_ngram_jaccard) runs only on candidates."""
+    sh = _shingles(_docs_with_dupes(spark, sf_dir))
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(_phash(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(8)
+        ]
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.col(f"mh{2 * b}").cast("string"),
+                                F.col(f"mh{2 * b + 1}").cast("string"),
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+_SQL_MINHASH = f"""
+WITH dd AS ({_DOCS_DUPES_SQL}),
+sh AS ({_SHINGLES_SQL}),
+mh AS (
+  SELECT doc_id,
+         {', '.join(f"min(('0x' || substr(md5('{i}|' || sh), 1, 15))::BIGINT) AS mh{i}" for i in range(8))}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, md5(mh{2*b}::VARCHAR || ',' || mh{2*b+1}::VARCHAR) AS bkey FROM mh" for b in range(4))}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 18. SimHash fingerprint (16-bit, tf-weighted bit votes)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 16-bit SimHash: each token occurrence votes ±1 on each bit
+    of its portable hash; fingerprint = sign vector. Pure
+    explode+groupBy — two shuffles regardless of corpus size. Bit j is
+    extracted arithmetically (floor-div/mod) so Spark and the SQL oracle
+    agree without bitwise-op dialect differences."""
+    dd = _docs_with_dupes(spark, sf_dir)
+    toks = dd.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tb = toks.select(
+        "doc_id",
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+    )
+    digit = F.substring(F.md5(F.col("token")), (F.col("j") / 4 + 1).cast("int"), 1)
+    val = F.instr(F.lit("0123456789abcdef"), digit) - 1
+    # instr's needle must be a column-free pattern in some engines; here
+    # digit is the needle-in-haystack form: locate(digit, hex_alphabet)
+    bit = (
+        F.floor(val / F.pow(F.lit(2.0), (F.col("j") % 4).cast("double"))).cast("long")
+        % 2
+    )
+    votes = (
+        tb.withColumn("vote", F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(
+                F.col("v") > 0, F.pow(F.lit(2.0), F.col("j").cast("double")).cast("long")
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+_SQL_SIMHASH = f"""
+WITH dd AS ({_DOCS_DUPES_SQL}),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM dd),
+tb AS (SELECT doc_id, token, unnest(range(0, 16)) AS j FROM toks),
+bits AS (
+  SELECT doc_id, j,
+         (floor((strpos('0123456789abcdef',
+                        substr(md5(token), (j // 4 + 1)::INT, 1)) - 1)
+                / pow(2, j % 4))::BIGINT % 2) AS bit
+  FROM tb),
+votes AS (
+  SELECT doc_id, j, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY doc_id, j)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN pow(2, j)::BIGINT ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 19. n-gram Jaccard similarity (exact verify for LSH candidates)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard over source-blocked pairs — the verify
+    stage after LSH candidate generation. Blocking keeps the pair space
+    linear-ish; at scale the block key is the LSH bucket instead of
+    source. Intersection via shingle equi-join, union by inclusion-
+    exclusion; only intersecting pairs survive (jac > 0)."""
+    dd = _docs_with_dupes(spark, sf_dir)
+    sh = _shingles(dd).join(dd.select("doc_id", "source"), "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.01)
+    )
+
+
+_SQL_JACCARD = f"""
+WITH dd AS ({_DOCS_DUPES_SQL}),
+sh0 AS ({_SHINGLES_SQL}),
+sh AS (SELECT s.doc_id, s.sh, d.source FROM sh0 s
+       JOIN dd d ON s.doc_id = d.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+  FROM sh a JOIN sh b
+    ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(ni / (na.n + nb.n - ni), 4) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(ni / (na.n + nb.n - ni), 4) >= 0.01
+"""
+
+
+# ---------------------------------------------------------------------------
+# 20. embedding near-duplicate pairs (cosine, label-blocked)
+
+
+def _emb_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dupes = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    return emb.unionByName(dupes)
+
+
+_EMB_DUPES_SQL = """
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding, label FROM embeddings
+  WHERE vec_id % 7 = 0
+"""
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n1 = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    n2 = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (n1 * n2)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.45 within a label block
+    (injected clones score 1.0). The dot product is a JVM zip_with/
+    aggregate — no Python, no UDF; blocking bounds the pair space, and
+    at scale the block key comes from q_ann_lsh_buckets."""
+    e = _emb_with_dupes(spark, sf_dir)
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.45)
+    )
+
+
+_SQL_EMB_COSINE = f"""
+WITH ee AS ({_EMB_DUPES_SQL})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cos
+FROM ee a JOIN ee b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 4) >= 0.45
+"""
+
+
+# ---------------------------------------------------------------------------
+# 21. brute-force cosine top-k ANN (the correctness baseline)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 nearest neighbors by cosine for 10 query vectors —
+    the ANN ground-truth baseline. Rank on the ROUNDED cosine with
+    vec_id tie-break (deterministic across engines); broadcast of the
+    tiny query side keeps this a map-side join at any corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cos = _cosine(F.col("qv"), F.col("embedding"))
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+_SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 4) AS cos
+  FROM q JOIN embeddings e ON q.query_id <> e.vec_id)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 22. LSH bucketing for ANN (random-hyperplane signatures — the scale path)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit random-hyperplane LSH signature per vector. Hyperplane
+    weights are derived from the portable hash of (plane, dim) so both
+    engines see the same planes; the signature is computed fully inside
+    a JVM zip_with/aggregate per plane — embarrassingly parallel, zero
+    shuffle. At scale, ANN = equi-join on bucket then brute-force within
+    buckets (q_ann_cosine_topk's plan restricted to the bucket)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = emb.select("vec_id", "label")
+    bucket = None
+    for h in range(8):
+        w = F.expr(
+            "transform(sequence(1, 64), d ->"
+            f" (cast(conv(substring(md5(concat('{h}_', cast(d as string))), 1, 3), 16, 10) as double) - 2048.0) / 2048.0)"
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), w, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << h)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select("vec_id", "label", bucket.cast("long").alias("bucket"))
+
+
+_SQL_ANN_LSH = f"""
+WITH planes AS (
+  SELECT h.range AS h, d.range AS d,
+         ((('0x' || substr(md5(h.range::VARCHAR || '_' || d.range::VARCHAR),
+                           1, 3))::BIGINT)::DOUBLE - 2048.0) / 2048.0 AS w
+  FROM range(0, 8) h, range(1, 65) d),
+dots AS (
+  SELECT e.vec_id, e.label, p.h,
+         sum(p.w * e.embedding[p.d]::DOUBLE) AS dot
+  FROM embeddings e, planes p
+  GROUP BY 1, 2, 3)
+SELECT vec_id, label,
+       sum(CASE WHEN dot >= 0 THEN pow(2, h)::BIGINT ELSE 0 END) AS bucket
+FROM dots GROUP BY vec_id, label
+"""
+
+
+# ---------------------------------------------------------------------------
+# 23. language identification (stopword-hit heuristic)
+
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "in"],
+    "es": ["el", "la", "de", "y", "en"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "fr": ["le", "la", "et", "de", "un"],
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count hits against per-language stopword
+    lists, argmax with (count desc, lang asc) tie-break; docs with no
+    hits are 'und'. The stopword dim is broadcast — the scan side never
+    shuffles on anything but doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    rows = [(lang, wrd) for lang, ws in _STOPWORDS.items() for wrd in ws]
+    sw = spark.createDataFrame(rows, ["lang_c", "word"])
+    toks = _tokens(docs)
+    hits = (
+        toks.join(F.broadcast(sw), toks.token == sw.word)
+        .groupBy("doc_id", "lang_c")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang_c"))
+    best = hits.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lang_c"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
+_SW_SQL_ROWS = " UNION ALL ".join(
+    f"SELECT '{lang}' AS lang_c, '{w}' AS word"
+    for lang, ws in _STOPWORDS.items()
+    for w in ws
+)
+
+_SQL_LANG_ID = f"""
+WITH sw AS ({_SW_SQL_ROWS}),
+toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT t.doc_id, s.lang_c, count(*) AS n_hits
+  FROM toks t JOIN sw s ON t.token = s.word
+  GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, lang_c, n_hits FROM (
+    SELECT doc_id, lang_c, n_hits,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n_hits DESC, lang_c ASC) AS rn
+    FROM hits) WHERE rn = 1)
+SELECT d.doc_id, coalesce(b.lang_c, 'und') AS pred_lang,
+       coalesce(b.n_hits, 0) AS n_hits
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 24. document quality scoring
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword-ratio / digit-ratio quality features + a
+    composite score — the pre-training corpus filter. One pass over the
+    token explode, everything else is arithmetic on the aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    stop = F.col("token").isin("the", "a", "of", "and", "in")
+    digit = F.col("token").rlike("^[0-9]+$")
+    agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.length("token")), 3).alias("avg_len"),
+        F.round(
+            F.sum(F.when(stop, 1).otherwise(0)) / F.count(F.lit(1)), 3
+        ).alias("stop_ratio"),
+        F.round(
+            F.sum(F.when(digit, 1).otherwise(0)) / F.count(F.lit(1)), 3
+        ).alias("digit_ratio"),
+    )
+    return agg.withColumn(
+        "quality",
+        F.round(
+            F.log(1 + F.col("n_tokens")) * (1 - F.col("digit_ratio")), 3
+        ),
+    )
+
+
+_SQL_QUALITY = f"""
+WITH toks AS ({_TOKENS_SQL}),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(avg(length(token)), 3) AS avg_len,
+         round(sum(CASE WHEN token IN ('the','a','of','and','in')
+                        THEN 1 ELSE 0 END)::DOUBLE / count(*), 3) AS stop_ratio,
+         round(sum(CASE WHEN regexp_matches(token, '^[0-9]+$')
+                        THEN 1 ELSE 0 END)::DOUBLE / count(*), 3) AS digit_ratio
+  FROM toks GROUP BY doc_id)
+SELECT doc_id, n_tokens, avg_len, stop_ratio, digit_ratio,
+       round(ln(1 + n_tokens) * (1 - digit_ratio), 3) AS quality
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# 25. token counting (whitespace + BPE-ish regex)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two token counts per doc: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single other chars) — the budget
+    accounting pass of a training-data pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), " "), lambda s: s != ""))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+    return docs.select(
+        "doc_id", ws.alias("n_ws"), bpe.alias("n_bpe")
+    )
+
+
+_SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), s -> s <> '')) AS n_ws,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
+FROM documents
+"""
+
+
+QUERIES.update(
+    {
+        "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "q_ann_cosine_topk": q_ann_cosine_topk,
+        "q_ann_lsh_buckets": q_ann_lsh_buckets,
+        "q_lang_id": q_lang_id,
+        "q_quality_score": q_quality_score,
+        "q_token_count": q_token_count,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q_dedup_minhash_lsh": _SQL_MINHASH,
+        "q_dedup_simhash": _SQL_SIMHASH,
+        "q_ngram_jaccard": _SQL_JACCARD,
+        "q_dedup_embedding_cosine": _SQL_EMB_COSINE,
+        "q_ann_cosine_topk": _SQL_ANN_TOPK,
+        "q_ann_lsh_buckets": _SQL_ANN_LSH,
+        "q_lang_id": _SQL_LANG_ID,
+        "q_quality_score": _SQL_QUALITY,
+        "q_token_count": _SQL_TOKEN_COUNT,
+    }
+)
