@@ -1,0 +1,282 @@
+"""Benchmark harness (driver contract).
+
+Headline metric (BASELINE.json): URLs-scheduled/sec + frontier-update
+wall-time. The frontier is synthesized with ``spark.range`` as key
+ranges — never materialized row-by-row — with Zipf host skew, and one
+full scheduling round runs through the REAL engine operators
+(politeness admission, Bloom-accelerated seen anti-join, deterministic
+discovery_seq assignment). Catalog headliner queries run at the same
+sf for per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "frontier_sched_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "urls_scheduled_per_sec": ..., "frontier_urls": ..., "cpus": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_FRONTIER (override frontier size),
+     SPARK_GRAFT_BENCH_QUERIES (comma list; default headliners).
+
+Scaling evidence mode (BENCH/BASELINE.md): run this twice with
+SPARK_GRAFT_CPUS=8 and =32 on the same input; efficiency =
+(T_8 / T_32) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+HEADLINERS = [
+    "q_pricing_summary",
+    "q_top5_orders",
+    "q_politeness_admission",
+    "q_url_canonicalize",
+    "q_exact_dedup",
+    "q_tfidf",
+    "q_search_top5",
+    "q_hourly_events",
+    "q_sessionize",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_ann_cosine_topk",
+    "q_ann_lsh_buckets",
+    "q_quality_score",
+]
+
+
+def _run_to_completion(df: DataFrame) -> int:
+    """Force full execution of every row (noop write semantics)."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def synth_frontier(spark: SparkSession, n: int, hosts: int, seed_salt: str):
+    """Pending frontier of n URLs over `hosts` hosts with Zipf skew.
+    Generated from key ranges (spark.range) — the 10^10 design never
+    materializes URLs row-by-row on the driver.
+
+    Host assignment is the closed-form Zipf(1) inverse CDF
+    ``h = floor((H+1)^u) - 1`` with u uniform in (0,1): P(h) ∝ 1/(h+1),
+    a pure per-row codegen expression — no join (a boundary-table range
+    join here plans as BroadcastNestedLoopJoin, O(n·hosts)).
+
+    Partition count is FIXED (64) regardless of parallelism: scaling
+    evidence must hold the data layout constant and vary only cores,
+    exactly like adding executors over the same input splits."""
+    base = spark.range(0, n, 1, numPartitions=64).withColumnRenamed("id", "i")
+    u = (F.col("i") + F.lit(0.5)) / F.lit(float(n))
+    host_rank = F.least(
+        F.greatest(
+            (F.floor(F.pow(F.lit(float(hosts + 1)), u)) - 1).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(hosts - 1),
+    )
+    with_host = base.withColumn("host_rank", host_rank)
+    url = F.concat(
+        F.lit("https://h"),
+        F.col("host_rank").cast("string"),
+        F.lit(f".{seed_salt}.example.com/p/"),
+        F.col("i").cast("string"),
+    )
+    return with_host.select(
+        F.xxhash64(url).alias("url_key"),
+        url.alias("url"),
+        F.concat(
+            F.lit("h"),
+            F.col("host_rank").cast("string"),
+            F.lit(f".{seed_salt}.example.com"),
+        ).alias("host"),
+        F.lit(0).alias("depth"),
+        F.col("i").alias("discovery_seq"),
+        F.lit("pending").alias("status"),
+    )
+
+
+def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
+    """One steady-state frontier update at size n: politeness admission
+    + Bloom-probed seen anti-join + discovery_seq assignment +
+    incremental seen-filter update, timed end-to-end. The ledger's
+    Bloom shard blobs are PRE-built (P8: the filter is maintained
+    incrementally round over round, never rebuilt from the full
+    ledger), exactly like the persisted ledger itself."""
+    import numpy as np
+
+    from web_crawler_search_engine_spark.operators import seen as seen_ops
+    from web_crawler_search_engine_spark.operators.scheduler import (
+        admit,
+        assign_seq_within_parents,
+    )
+
+    from pyspark.storagelevel import StorageLevel
+
+    hosts = max(int(n ** 0.5) // 4, 16)
+    # MEMORY_ONLY: the columnar cache's dictionary compression is
+    # pathological on high-cardinality URL strings (30x slower build) —
+    # the session also sets inMemoryColumnarStorage.compressed=false
+    pending = synth_frontier(spark, n, hosts, "frontier").persist(
+        StorageLevel.MEMORY_ONLY
+    )
+    seen = (
+        synth_frontier(spark, n, hosts, "seenset")
+        .select("url_key")
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    t0 = time.monotonic()
+    _run_to_completion(pending)
+    _run_to_completion(seen)
+    print(f"[bench] gen+cache: {time.monotonic() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.monotonic()
+    blobs = [
+        r.asDict()
+        for r in seen_ops.build_seen_filter(seen, "url_key", 16).collect()
+    ]
+    print(
+        f"[bench] ledger filter build (one-time): {time.monotonic() - t0:.1f}s",
+        file=sys.stderr,
+    )
+
+    t0 = time.monotonic()
+    # politeness admission: quota 8/host/round, salted two-phase top-K
+    admitted = admit(
+        pending.withColumn("quota", F.lit(8)),
+        max_quota=8,
+        salt_buckets=16,
+    ).drop("quota")
+    n_admitted = admitted.count()
+    t_admit = time.monotonic() - t0
+    print(f"[bench] admit: {t_admit:.1f}s", file=sys.stderr)
+
+    t0 = time.monotonic()
+    # discovered links: ~20% of the frontier is fresh plus ~14% already
+    # seen (steady-state dupe mix), deterministic at any parallelism.
+    # Parents are the round's admitted pages (budget-bounded, like the
+    # real engine): parent = pmod(seq, |admitted|); pos orders links
+    # within a parent (unique since the source seq is globally unique).
+    n_parents = n_admitted
+    link_cols = [
+        "url_key",
+        "url",
+        "host",
+        "depth",
+        F.pmod("discovery_seq", F.lit(n_parents)).alias("parent_seq"),
+        F.col("discovery_seq").alias("pos"),
+    ]
+    fresh = pending.filter(F.pmod("url_key", F.lit(5)) == 0).select(*link_cols)
+    dupes = (
+        synth_frontier(spark, n, hosts, "seenset")
+        .filter(F.pmod("url_key", F.lit(7)) == 0)
+        .select(*link_cols)
+    )
+    links = fresh.unionByName(dupes)
+    t1 = time.monotonic()
+    unseen = seen_ops.anti_join_with_prebuilt(links, seen, blobs, "url_key")
+    print(
+        f"[bench] bloom probe+maybe-count: {time.monotonic() - t1:.1f}s",
+        file=sys.stderr,
+    )
+    t1 = time.monotonic()
+    new_links = assign_seq_within_parents(unseen, "parent_seq", "pos", base=n)
+    n_new = new_links.count()
+    print(f"[bench] assign_seq: {time.monotonic() - t1:.1f}s", file=sys.stderr)
+    t1 = time.monotonic()
+    new_keys = (
+        new_links.select("url_key").toPandas()["url_key"].to_numpy(np.int64)
+    )
+    blobs = seen_ops.update_seen_filter(blobs, new_keys)
+    print(
+        f"[bench] incremental filter update: {time.monotonic() - t1:.1f}s",
+        file=sys.stderr,
+    )
+    t_update = time.monotonic() - t0
+
+    pending.unpersist()
+    seen.unpersist()
+    total = t_admit + t_update
+    return {
+        "frontier_urls": n,
+        "hosts": hosts,
+        "admitted": n_admitted,
+        "new_links": n_new,
+        "frontier_admit_sec": round(t_admit, 3),
+        "frontier_update_sec": round(t_update, 3),
+        "frontier_sched_sec": round(total, 3),
+        "urls_scheduled_per_sec": round((n_admitted + n_new) / total, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        # constant shuffle partitioning across parallelism levels —
+        # the N-vs-4N comparison varies cores only, not the plan
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE", "64"),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # fixed pre-touched heap: on VM guests (THP/page-fault storms)
+        # a growing heap under 32 allocating threads burns >90% sys
+        # time in the kernel; pre-touching at startup removes it from
+        # the measured run (observed 163s -> 20s on a 24M-row cache)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g')} "
+            "-XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # frontier size: ~10x lineitem rows at this sf (600k rows -> 6M URLs)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    default_n = int(li.count()) * 10
+    n = int(os.environ.get("SPARK_GRAFT_FRONTIER", str(default_n)))
+
+    frontier = bench_frontier_round(spark, n, cpus)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = names.split(",") if names else HEADLINERS
+    per_query = {}
+    for name in names:
+        if name not in qs:
+            continue
+        t0 = time.monotonic()
+        _run_to_completion(qs[name](spark, sf_dir))
+        per_query[name] = round(time.monotonic() - t0, 3)
+    per_query["frontier_round"] = frontier["frontier_sched_sec"]
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "frontier_sched_sec",
+        "value": frontier["frontier_sched_sec"],
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        **frontier,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -35,12 +35,16 @@ def round_oracle(world):
 
 
 def _make_job(spark, world, tmp, use_bloom=True):
+    # tiny worlds: shrink physical layout knobs (results are
+    # layout-independent — salting/bucketing only affect partitioning)
     cfg = CrawlConfig(
         root_domains=world.root_domains,
         user_agent=USER_AGENT,
         politeness=POLITENESS,
         round_duration=T,
         use_bloom=use_bloom,
+        salt_buckets=4,
+        host_buckets=4,
     )
     return CrawlJob(
         spark,

@@ -18,6 +18,15 @@ TABLES = (
 ).split()
 
 
+def duck_con(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
 def norm(v):
     import datetime
     import math
@@ -31,22 +40,39 @@ def norm(v):
     return str(v)
 
 
+def compare_query(spark, con, fn, sql: str | None, sf_dir: str) -> tuple[bool, str]:
+    """Run one Spark query vs its DuckDB oracle. Returns (ok, detail)."""
+    sdf = fn(spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if sql is None:
+        return True, f"rows-only ({len(srows)} rows)"
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    if sorted(scols) != sorted(dcols):
+        return False, f"cols spark={scols} duck={dcols}"
+    order = sorted(scols)
+    sset = sorted(tuple(norm(r[c]) for c in order) for r in srows)
+    didx = [dcols.index(c) for c in order]
+    dset = sorted(tuple(norm(r[i]) for i in didx) for r in drows)
+    if len(sset) != len(dset):
+        return False, f"rowcount spark={len(sset)} duck={len(dset)}"
+    if sset != dset:
+        bad = next((a, b) for a, b in zip(sset, dset) if a != b)
+        return False, f"value mismatch e.g. spark={bad[0]} duck={bad[1]}"
+    return True, f"{len(sset)} rows match"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-
-    import duckdb
 
     import __spark_entry__ as entrymod
     from web_crawler_search_engine_spark.session import get_spark
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
-
+    con = duck_con(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
@@ -54,45 +80,11 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            ok, detail = compare_query(spark, con, fn, oracles.get(name), sf_dir)
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {e}")
-            failures += 1
-            continue
-        if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(srows)} rows)")
-            continue
-        try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
-            failures += 1
-            continue
-        if sorted(scols) != sorted(dcols):
-            print(f"FAIL {name}: cols spark={scols} duck={dcols}")
-            failures += 1
-            continue
-        order = sorted(scols)
-        sset = sorted(
-            tuple(norm(r[c]) for c in order) for r in srows
-        )
-        didx = [dcols.index(c) for c in order]
-        dset = sorted(tuple(norm(r[i]) for i in didx) for r in drows)
-        if len(sset) != len(dset):
-            print(f"FAIL {name}: rowcount spark={len(sset)} duck={len(dset)}")
-            failures += 1
-        elif sset != dset:
-            bad = next(
-                (a, b) for a, b in zip(sset, dset) if a != b
-            )
-            print(f"FAIL {name}: value mismatch e.g. spark={bad[0]} duck={bad[1]}")
-            failures += 1
-        else:
-            print(f"ok   {name}: {len(sset)} rows match")
+            ok, detail = False, f"error: {str(e).splitlines()[0][:200]}"
+        print(f"{'ok  ' if ok else 'FAIL'} {name}: {detail}")
+        failures += 0 if ok else 1
     print(f"{failures} failures")
     return 1 if failures else 0
 

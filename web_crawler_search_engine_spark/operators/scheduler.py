@@ -90,11 +90,17 @@ def assign_global_seq(
     """
     cols = [F.col(c) for c in order_cols]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # repartitionByRange runs a sampling job over the input BEFORE the
+    # checkpoint materialization pass — persist the input so an
+    # expensive upstream (UDF probes, joins) is computed once, and
+    # release it as soon as the checkpoint holds the data.
+    df = df.persist()
     ranged = df.repartitionByRange(parts, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     ranged = ranged.localCheckpoint(eager=False)
     counts = {r["_pid"]: r["n"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    df.unpersist()
     if not counts:
         return df.withColumn(seq_col, F.lit(base).cast("long"))
     offsets, acc = {}, base
@@ -112,3 +118,49 @@ def assign_global_seq(
         )
         .drop("_pid")
     )
+
+
+def assign_seq_within_parents(
+    df: DataFrame,
+    parent_col: str,
+    pos_col: str,
+    base: int,
+    seq_col: str = "discovery_seq",
+) -> DataFrame:
+    """Dense global sequence over the total order (parent, pos) for the
+    per-round link batch — equivalent to assign_global_seq on
+    [parent_col, pos_col] but with no range partitioning, sampling, or
+    checkpoint.
+
+    Works because the parent set of one round is the ADMITTED set,
+    bounded by hosts x politeness-quota (P7): per-parent link counts
+    collect to the driver for an exact prefix sum, broadcast back, and
+    each link gets offset[parent] + rank-within-parent (a hash-
+    partitioned window - scales with cores, no global sort). The
+    resulting values are identical to the global dense rank because
+    (parent, pos) is a total order. For an unbounded parent set use
+    assign_global_seq (range-based) instead.
+    """
+    spark = df.sparkSession
+    df = df.persist()
+    cnts = sorted(
+        df.groupBy(parent_col).agg(F.count("*").alias("_n")).collect(),
+        key=lambda r: r[parent_col],
+    )
+    if not cnts:
+        return df.withColumn(seq_col, F.lit(base).cast("long"))
+    acc = base
+    offs = []
+    for r in cnts:
+        offs.append((r[parent_col], acc))
+        acc += r["_n"]
+    odf = spark.createDataFrame(offs, f"{parent_col} long, _off long")
+    w = Window.partitionBy(parent_col).orderBy(pos_col)
+    out = (
+        df.join(F.broadcast(odf), parent_col)
+        .withColumn(
+            seq_col, (F.col("_off") + F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("_off")
+    )
+    return out

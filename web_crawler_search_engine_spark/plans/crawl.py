@@ -50,7 +50,12 @@ from ..functions import html as H
 from ..functions import text as T
 from ..functions import urls as U
 from ..operators import seen as seen_ops
-from ..operators.scheduler import admit, assign_global_seq, politeness_quota
+from ..operators.scheduler import (
+    admit,
+    assign_global_seq,
+    assign_seq_within_parents,
+    politeness_quota,
+)
 from ..schemas import FRONTIER
 from ..sources.checkpoints import SnapshotStore
 
@@ -92,6 +97,12 @@ class CrawlJob:
         self.robots: DataFrame | None = None
         self.token_stats: DataFrame | None = None
         self.round: int = 0
+        # next discovery_seq, tracked driver-side (refreshed from the
+        # end-of-round stats action; None => recompute lazily)
+        self._base: int | None = None
+        # Bloom shard blobs, built once and updated incrementally per
+        # round (P8 steady state); None => (re)build from the frontier
+        self._seen_blobs: list[dict] | None = None
 
     # ------------------------------------------------------------------
     def start(self, seed_urls: list[str]) -> None:
@@ -119,6 +130,7 @@ class CrawlJob:
             F.lit(None).cast("boolean").alias("allowed"),
         )
         self.round = 0
+        self._base = None
         empty_robots = self.spark.createDataFrame(
             [], "host string, fetched boolean, rules string, crawl_delay double, fetch_round int"
         )
@@ -132,6 +144,8 @@ class CrawlJob:
         if r is None:
             raise FileNotFoundError("no snapshot to resume from")
         self.round = r
+        self._base = None
+        self._seen_blobs = None
         self.frontier = self.store.load("frontier")
         self.robots = self.store.load("robots")
         self.token_stats = self.store.load("token_stats")
@@ -260,13 +274,27 @@ class CrawlJob:
         # anti-join remains authoritative (FP-safe).
         seen_keys = self.frontier.select("url_key")
         if cfg.use_bloom:
-            unseen = seen_ops.anti_join_with_bloom(
-                batch_unique, seen_keys, "url_key", cfg.bloom_bits_per_key
+            if self._seen_blobs is None:
+                # first round or post-resume: one distributed build
+                # from the ledger; every later round updates the blobs
+                # incrementally (see end of run_round)
+                self._seen_blobs = seen_ops.build_seen_filter_blobs(
+                    seen_keys, "url_key", cfg.bloom_bits_per_key
+                )
+            unseen = seen_ops.anti_join_with_prebuilt(
+                batch_unique, seen_keys, self._seen_blobs, "url_key"
             )
         else:
             unseen = batch_unique.join(seen_keys, "url_key", "left_anti")
-        base = (self.frontier.agg(F.max("discovery_seq")).collect()[0][0] or 0) + 1
-        new_links = assign_global_seq(unseen, ["parent_seq", "pos"], base=base).select(
+        if self._base is None:
+            mx = self.frontier.agg(F.max("discovery_seq")).collect()[0][0]
+            self._base = (mx if mx is not None else -1) + 1
+        base = self._base
+        # parents are this round's admitted pages (budget-bounded) =>
+        # the prefix-sum path; values identical to the global dense rank
+        new_links = assign_seq_within_parents(
+            unseen, "parent_seq", "pos", base=base
+        ).select(
             "url_key",
             "url",
             U.netloc_of(F.col("url")).alias("host"),
@@ -336,10 +364,33 @@ class CrawlJob:
         self.round = r
         self._commit(frontier_next, robots, token_stats, admitted_log, metrics)
         scrapeable.unpersist()
-        counts = {
-            row["status"]: row["n"]
-            for row in self.frontier.groupBy("status").agg(F.count("*").alias("n")).collect()
-        }
+        # one action yields both the termination counts and the next
+        # discovery_seq base (no separate max-seq job next round)
+        rows = (
+            self.frontier.groupBy("status")
+            .agg(F.count("*").alias("n"), F.max("discovery_seq").alias("mx"))
+            .collect()
+        )
+        counts = {row["status"]: row["n"] for row in rows}
+        if rows:
+            self._base = max((row["mx"] or -1) for row in rows) + 1
+        if cfg.use_bloom and self._seen_blobs is not None:
+            # incremental ledger-filter update with this round's new
+            # links (read back from the committed snapshot — no
+            # recompute; volume is bounded by the round's discoveries)
+            import numpy as np
+
+            new_keys = (
+                self.frontier.filter(
+                    (F.col("round") == r) & (F.col("status") == "pending")
+                )
+                .select("url_key")
+                .toPandas()["url_key"]
+                .to_numpy(np.int64)
+            )
+            self._seen_blobs = seen_ops.update_seen_filter(
+                self._seen_blobs, new_keys
+            )
         return {"round": r, **counts}
 
     # ------------------------------------------------------------------
