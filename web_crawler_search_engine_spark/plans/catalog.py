@@ -20,6 +20,8 @@ Portability notes (Spark ⟷ DuckDB):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -52,6 +54,71 @@ def _tokens(doc_df: DataFrame) -> DataFrame:
 _TOKENS_SQL = (
     "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
 )
+
+
+def _lsh_planes(n_planes: int = 8, dims: int = 64) -> list[list[int]]:
+    """INTEGER hyperplane weights in [-2048, 2047], derived at
+    plan-build time from md5(f"{plane}_{dim}") — the same pseudo-random
+    stream both engines previously recomputed per row. Precomputing
+    kills 512 per-row md5 calls AND makes the weights literal
+    constants, identical across engines by construction."""
+    return [
+        [
+            int(hashlib.md5(f"{h}_{d}".encode()).hexdigest()[:3], 16) - 2048
+            for d in range(1, dims + 1)
+        ]
+        for h in range(n_planes)
+    ]
+
+
+def _lsh_bucket_col(emb_col, n_planes: int = 8):
+    """Random-hyperplane LSH bucket as a pure JVM Column expression.
+
+    ulp-proof sign test (the r1 hash fail): the embedding is quantized
+    to BIGINT (floor(x·10⁶) — floor of an exact IEEE double product is
+    engine-independent), the hyperplane weights are BIGINTs, so the
+    dot product is an exact integer sum whose sign cannot drift with
+    summation order. Positive scaling (10⁶/2048) never flips a sign,
+    so the bucket equals the real-valued hyperplane side except within
+    quantization noise of the plane itself — fine for LSH (any
+    consistent tie rule works) and exactly reproducible."""
+    qx = F.transform(
+        emb_col, lambda x: F.floor(x.cast("double") * 1000000.0).cast("long")
+    )
+    bucket = None
+    for h, weights in enumerate(_lsh_planes(n_planes)):
+        warr = F.array(*[F.lit(w).cast("long") for w in weights])
+        dot = F.aggregate(
+            F.zip_with(qx, warr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << h)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+def _lsh_planes_values_sql(n_planes: int = 8) -> str:
+    """(h, d, w) literal VALUES rows for the DuckDB oracle twin."""
+    return ", ".join(
+        f"({h}, {d + 1}, {w})"
+        for h, ws in enumerate(_lsh_planes(n_planes))
+        for d, w in enumerate(ws)
+    )
+
+
+def _lsh_bucket_sql(src: str, n_planes: int = 8) -> str:
+    """bucket-per-vec_id CTE body over relation ``src`` (vec_id,
+    embedding) — integer-exact twin of ``_lsh_bucket_col``."""
+    return f"""
+  SELECT vec_id, sum(CASE WHEN dot >= 0 THEN pow(2, h)::BIGINT ELSE 0 END)::BIGINT AS bucket
+  FROM (
+    SELECT s.vec_id, p.h,
+           sum(floor(s.embedding[p.d]::DOUBLE * 1000000.0)::BIGINT * p.w) AS dot
+    FROM {src} s, (VALUES {_lsh_planes_values_sql(n_planes)}) AS p(h, d, w)
+    GROUP BY 1, 2)
+  GROUP BY vec_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -499,11 +566,14 @@ def q_bigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning: keep bigrams appearing in ≥ 10 docs, the reference's
     rare-n-gram cutoff (F12)."""
     docs = _t(spark, sf_dir, "documents")
-    arr = F.split(F.col("text"), " ")
+    # guarded like _shingles: a 1-token doc must yield [] rather than
+    # sequence(1, 0) = [1, 0] and an element_at(arr, 0) crash
     bigrams = F.expr(
-        "transform(sequence(1, size(split(text,' ')) - 1),"
+        "case when size(split(text,' ')) >= 2 then"
+        " transform(sequence(1, size(split(text,' ')) - 1),"
         " i -> concat(element_at(split(text,' '), i), ' ',"
         " element_at(split(text,' '), i + 1)))"
+        " else cast(array() as array<string>) end"
     )
     ex = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
     return (
@@ -560,19 +630,32 @@ FROM events GROUP BY 1, 2
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + conditional
-    cumsum — the batch form of applyInPandasWithState session windows."""
+    cumsum — the batch form of applyInPandasWithState session windows.
+
+    The gap test runs on an INTEGER epoch computed timezone-free from
+    the NTZ timestamp's own fields (days-since-epoch · 86400 + h/m/s,
+    fractional seconds truncated) so both engines compare identical
+    BIGINTs — no session-tz, DST, or float-epoch dependence (the r1
+    hash fail was DuckDB's fractional epoch() vs Spark's truncated
+    cast at the 1800 s boundary)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ; NTZ→TS→long applies a constant tz offset that
-    # cancels in the difference, so the 1800 s gap test matches epoch().
-    secs = F.col("ts").cast("timestamp").cast("long")
+    secs = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).cast(
+            "long"
+        )
+        * 86400
+        + F.hour("ts").cast("long") * 3600
+        + F.minute("ts").cast("long") * 60
+        + F.second("ts").cast("long")
+    )
     gap = secs - F.lag(secs).over(w)
     new_s = F.when(gap.isNull() | (gap <= 1800), F.lit(0)).otherwise(F.lit(1))
     sess = ev.withColumn("new_s", new_s).withColumn(
         "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return sess.groupBy("user_id").agg(
-        (F.max("session_id") + 1).alias("n_sessions"),
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -580,8 +663,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SESSIONIZE = """
 WITH g AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+         CASE WHEN floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT > 1800
               THEN 1 ELSE 0 END AS new_s
   FROM events),
 s AS (
@@ -589,7 +672,8 @@ s AS (
          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g)
-SELECT user_id, max(session_id) + 1 AS n_sessions, count(*) AS n_events
+SELECT user_id, (max(session_id) + 1)::BIGINT AS n_sessions,
+       count(*) AS n_events
 FROM s GROUP BY user_id
 """
 
@@ -665,12 +749,17 @@ _DOCS_DUPES_SQL = """
 
 def _shingles(df: DataFrame) -> DataFrame:
     """Distinct word 3-shingles per doc, built JVM-side from the token
-    array (no UDF, no shuffle)."""
+    array (no UDF, no shuffle). Docs with < 3 tokens yield no shingles
+    — the unguarded sequence(1, size-2) would step DOWNWARD to [1, 0]
+    and element_at(arr, 0) throws (Spark sequence defaults to step -1
+    when start > stop)."""
     tri = F.expr(
-        "transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
+        "case when size(split(text,' ')) >= 3 then"
+        " transform(sequence(1, size(split(text,' ')) - 2),"
         " i -> concat_ws(' ', element_at(split(text,' '), i),"
         " element_at(split(text,' '), i + 1),"
         " element_at(split(text,' '), i + 2)))"
+        " else cast(array() as array<string>) end"
     )
     return df.select("doc_id", F.explode(tri).alias("sh")).distinct()
 
@@ -757,61 +846,50 @@ FROM bands a JOIN bands b
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 16-bit SimHash: each token occurrence votes ±1 on each bit
-    of its portable hash; fingerprint = sign vector. Pure
-    explode+groupBy — two shuffles regardless of corpus size. Bit j is
-    extracted arithmetically (floor-div/mod) so Spark and the SQL oracle
-    agree without bitwise-op dialect differences."""
+    """Per-doc 16-bit SimHash: each token occurrence votes ±1 on each
+    bit of its portable hash; fingerprint = sign vector.
+
+    Single-pass form (r2): the token's 16 bit votes are carried as ONE
+    16-bit integer (the first 4 md5 hex digits), so the per-doc
+    aggregation is a single groupBy with 16 narrow SUM columns — bit j
+    vote-sum v_j = 2·Σ bit_j − n, and bit j of the fingerprint is set
+    iff 2·s_j > n. One shuffle at token volume (map-side combined), no
+    ×16 bit-explode (the r1 plan shuffled 16× token volume), and all
+    arithmetic stays in the BIGINT domain on both engines (the r1 hash
+    fail was pow(2.0, j) double round-trips)."""
     dd = _docs_with_dupes(spark, sf_dir)
     toks = dd.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    tb = toks.select(
-        "doc_id",
-        "token",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+    v16 = F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("long")
+    agg = toks.select("doc_id", v16.alias("v16")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("v16"), j) % 2).alias(f"s{j}")
+            for j in range(16)
+        ],
     )
-    digit = F.substring(F.md5(F.col("token")), (F.col("j") / 4 + 1).cast("int"), 1)
-    val = F.instr(F.lit("0123456789abcdef"), digit) - 1
-    # instr's needle must be a column-free pattern in some engines; here
-    # digit is the needle-in-haystack form: locate(digit, hex_alphabet)
-    bit = (
-        F.floor(val / F.pow(F.lit(2.0), (F.col("j") % 4).cast("double"))).cast("long")
-        % 2
-    )
-    votes = (
-        tb.withColumn("vote", F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return (
-        votes.withColumn(
-            "bitval",
-            F.when(
-                F.col("v") > 0, F.pow(F.lit(2.0), F.col("j").cast("double")).cast("long")
-            ).otherwise(F.lit(0)),
+    fingerprint = None
+    for j in range(16):
+        bit = F.when(2 * F.col(f"s{j}") > F.col("n"), F.lit(1 << j)).otherwise(
+            F.lit(0)
         )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return agg.select("doc_id", fingerprint.cast("long").alias("simhash"))
 
 
 _SQL_SIMHASH = f"""
 WITH dd AS ({_DOCS_DUPES_SQL}),
 toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM dd),
-tb AS (SELECT doc_id, token, unnest(range(0, 16)) AS j FROM toks),
-bits AS (
-  SELECT doc_id, j,
-         (floor((strpos('0123456789abcdef',
-                        substr(md5(token), (j // 4 + 1)::INT, 1)) - 1)
-                / pow(2, j % 4))::BIGINT % 2) AS bit
-  FROM tb),
-votes AS (
-  SELECT doc_id, j, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
-  FROM bits GROUP BY doc_id, j)
+tv AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 4))::BIGINT AS v16
+       FROM toks WHERE token <> ''),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+         {', '.join(f"sum((v16 // {1 << j}) % 2) AS s{j}" for j in range(16))}
+  FROM tv GROUP BY doc_id)
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN pow(2, j)::BIGINT ELSE 0 END) AS simhash
-FROM votes GROUP BY doc_id
+       ({' + '.join(f"CASE WHEN 2 * s{j} > n THEN {1 << j} ELSE 0 END" for j in range(16))})::BIGINT AS simhash
+FROM agg
 """
 
 
@@ -921,18 +999,25 @@ def _cosine(a, b):
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.45 within a label block
-    (injected clones score 1.0). The dot product is a JVM zip_with/
-    aggregate — no Python, no UDF; blocking bounds the pair space, and
-    at scale the block key comes from q_ann_lsh_buckets."""
-    e = _emb_with_dupes(spark, sf_dir)
+    """Embedding near-dup pairs: cosine ≥ 0.45 within an LSH-bucket
+    block (injected clones have identical embeddings ⇒ identical
+    buckets ⇒ always candidates, scoring 1.0). The block key is the
+    4-plane random-hyperplane bucket from ``_lsh_bucket_col`` — the
+    composition the r1 review asked for: the pair space is
+    bucket-bounded (O(Σ bucket²) ≪ all-pairs; at production scale use
+    B independent bands of planes and union the candidate sets for
+    recall). The dot product is a JVM zip_with/aggregate — no Python,
+    no UDF."""
+    e = _emb_with_dupes(spark, sf_dir).withColumn(
+        "bucket", _lsh_bucket_col(F.col("embedding"), n_planes=4)
+    )
     a = e.alias("a")
     b = e.alias("b")
     cos = _cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -945,11 +1030,14 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_EMB_COSINE = f"""
-WITH ee AS ({_EMB_DUPES_SQL})
+WITH ee AS ({_EMB_DUPES_SQL}),
+bk AS ({_lsh_bucket_sql('ee', 4)})
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[],
                                     b.embedding::DOUBLE[]), 4) AS cos
-FROM ee a JOIN ee b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM ee a JOIN bk ba ON a.vec_id = ba.vec_id
+JOIN ee b ON a.vec_id < b.vec_id
+JOIN bk bb ON b.vec_id = bb.vec_id AND ba.bucket = bb.bucket
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]), 4) >= 0.45
 """
@@ -1009,46 +1097,22 @@ SELECT query_id, neighbor_id, rank, cos FROM (
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-bit random-hyperplane LSH signature per vector. Hyperplane
-    weights are derived from the portable hash of (plane, dim) so both
-    engines see the same planes; the signature is computed fully inside
-    a JVM zip_with/aggregate per plane — embarrassingly parallel, zero
-    shuffle. At scale, ANN = equi-join on bucket then brute-force within
-    buckets (q_ann_cosine_topk's plan restricted to the bucket)."""
+    """8-bit random-hyperplane LSH signature per vector, computed fully
+    inside a JVM zip_with/aggregate over plan-time-literal integer
+    hyperplanes — embarrassingly parallel, zero shuffle, zero per-row
+    hashing. At scale, ANN = equi-join on bucket then brute-force
+    within buckets (q_ann_cosine_topk's plan restricted to the
+    bucket); q_dedup_embedding_cosine wires exactly that."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = emb.select("vec_id", "label")
-    bucket = None
-    for h in range(8):
-        w = F.expr(
-            "transform(sequence(1, 64), d ->"
-            f" (cast(conv(substring(md5(concat('{h}_', cast(d as string))), 1, 3), 16, 10) as double) - 2048.0) / 2048.0)"
-        )
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("embedding"), w, lambda x, y: x.cast("double") * y
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(dot >= 0, F.lit(1 << h)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return emb.select("vec_id", "label", bucket.cast("long").alias("bucket"))
+    return emb.select(
+        "vec_id", "label", _lsh_bucket_col(F.col("embedding")).alias("bucket")
+    )
 
 
 _SQL_ANN_LSH = f"""
-WITH planes AS (
-  SELECT h.range AS h, d.range AS d,
-         ((('0x' || substr(md5(h.range::VARCHAR || '_' || d.range::VARCHAR),
-                           1, 3))::BIGINT)::DOUBLE - 2048.0) / 2048.0 AS w
-  FROM range(0, 8) h, range(1, 65) d),
-dots AS (
-  SELECT e.vec_id, e.label, p.h,
-         sum(p.w * e.embedding[p.d]::DOUBLE) AS dot
-  FROM embeddings e, planes p
-  GROUP BY 1, 2, 3)
-SELECT vec_id, label,
-       sum(CASE WHEN dot >= 0 THEN pow(2, h)::BIGINT ELSE 0 END) AS bucket
-FROM dots GROUP BY vec_id, label
+WITH bk AS ({_lsh_bucket_sql('embeddings')})
+SELECT e.vec_id, e.label, bk.bucket
+FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id
 """
 
 
