@@ -104,12 +104,15 @@ def synth_frontier(spark: SparkSession, n: int, hosts: int, seed_salt: str):
 def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     """One steady-state frontier update at size n: politeness admission
     + Bloom-probed seen anti-join + discovery_seq assignment +
-    incremental seen-filter update, timed end-to-end. The ledger's
-    Bloom shard blobs are PRE-built (P8: the filter is maintained
-    incrementally round over round, never rebuilt from the full
-    ledger), exactly like the persisted ledger itself."""
-    import numpy as np
+    incremental seen-filter update, timed end-to-end.
 
+    r2 engine: the seen filter is the JVM (word_id, word) Bloom table
+    (operators/seen.py) — probe = broadcast joins + bit arithmetic,
+    update = distributed bit_or groupBy. Zero Python stages in the
+    measured round (the r1 pandas probe / driver toPandas update were
+    the measured anti-scaling culprits). The ledger filter is
+    PRE-built (P8: maintained incrementally round over round, never
+    rebuilt from the full ledger), exactly like the ledger itself."""
     from web_crawler_search_engine_spark.operators import seen as seen_ops
     from web_crawler_search_engine_spark.operators.scheduler import (
         admit,
@@ -136,10 +139,11 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     print(f"[bench] gen+cache: {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.monotonic()
-    blobs = [
-        r.asDict()
-        for r in seen_ops.build_seen_filter(seen, "url_key", 16).collect()
-    ]
+    m_bits = seen_ops.plan_m_bits(2 * n, 16)
+    words = seen_ops.bloom_word_updates(seen, "url_key", m_bits).persist(
+        StorageLevel.MEMORY_ONLY
+    )
+    _run_to_completion(words)
     print(
         f"[bench] ledger filter build (one-time): {time.monotonic() - t0:.1f}s",
         file=sys.stderr,
@@ -179,7 +183,9 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     )
     links = fresh.unionByName(dupes)
     t1 = time.monotonic()
-    unseen = seen_ops.anti_join_with_prebuilt(links, seen, blobs, "url_key")
+    unseen, probe_handle = seen_ops.anti_join_via_bloom(
+        links, seen, words, "url_key", m_bits=m_bits
+    )
     print(
         f"[bench] bloom probe+maybe-count: {time.monotonic() - t1:.1f}s",
         file=sys.stderr,
@@ -189,10 +195,10 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     n_new = new_links.count()
     print(f"[bench] assign_seq: {time.monotonic() - t1:.1f}s", file=sys.stderr)
     t1 = time.monotonic()
-    new_keys = (
-        new_links.select("url_key").toPandas()["url_key"].to_numpy(np.int64)
+    delta_words = seen_ops.bloom_word_updates(
+        new_links.select("url_key"), "url_key", m_bits
     )
-    blobs = seen_ops.update_seen_filter(blobs, new_keys)
+    _run_to_completion(seen_ops.or_words(words, delta_words))
     print(
         f"[bench] incremental filter update: {time.monotonic() - t1:.1f}s",
         file=sys.stderr,
@@ -201,6 +207,8 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
 
     pending.unpersist()
     seen.unpersist()
+    words.unpersist()
+    probe_handle.unpersist()
     total = t_admit + t_update
     return {
         "frontier_urls": n,

@@ -117,3 +117,22 @@ def search_oracle(docs, postings, tokens: list[str], fallback: list[str], k=5):
     if not res:
         res = run(set(fallback))
     return res
+
+
+def context_oracle(content: str, tokens: list[str]) -> str:
+    """C10 snippet oracle (shared/webpage.py:55-65): body -> alnum
+    words joined by spaces; for each query word IN ORDER take 300
+    chars from its first lowercased occurrence — the reference loop
+    overwrites, so the last matching word wins."""
+    words = " ".join(tokens).split(" ")
+    m = re.search(r"<body[^>]*>(.*)</body>", content, re.DOTALL)
+    body = m.group(1) if m else content
+    text = re.sub(r"<[^>]+>", " ", body)
+    text = re.sub(r"[^a-zA-Z0-9]+", " ", text).strip()
+    low = text.lower()
+    ctx = ""
+    for w in words:
+        pos = low.find(w.lower())
+        if pos > -1:
+            ctx = text[pos : pos + 300]
+    return ctx

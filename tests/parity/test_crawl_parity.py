@@ -126,3 +126,41 @@ def test_resume_mid_crawl_equals_uninterrupted(
     job2.run(max_rounds=60)
     assert job2.final_state() == engine_run.final_state()
     assert job2.admitted_sequences() == engine_run.admitted_sequences()
+
+
+def test_metrics_schema_and_totals(engine_run, round_oracle, world):
+    """METRICS schema contract (r1 drift fixed) + lineage totals vs
+    the oracle: every URL is admitted exactly once, denials and
+    discoveries accounted per round."""
+    from web_crawler_search_engine_spark.schemas import METRICS
+
+    want_fields = [(f.name, f.dataType.simpleString()) for f in METRICS.fields]
+    tot = {"admitted": 0, "fetched": 0, "robots_denied": 0, "new_urls": 0}
+    for rnd in engine_run.store.rounds():
+        m = engine_run.store.manifest(rnd)
+        if "metrics" not in m["tables"]:
+            continue
+        df = engine_run.store.load("metrics", rnd)
+        got_fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        assert got_fields == want_fields
+        for row in df.collect():
+            for k in tot:
+                tot[k] += row[k]
+    statuses = round_oracle.statuses
+    assert tot["admitted"] == sum(1 for s in statuses.values() if s == "fetched")
+    assert tot["robots_denied"] == sum(
+        1 for s in statuses.values() if s == "robots_denied"
+    )
+    # every URL beyond the deduped seeds was discovered exactly once
+    n_seed_urls = len(set(world.seeds))
+    assert tot["new_urls"] == len(statuses) - n_seed_urls
+
+
+def test_export_stats_ordering(engine_run):
+    """A10 (crawler/__init__.py:43-44): urls by length desc, tokens by
+    count desc, deterministic tie-breaks."""
+    urls, tokens = engine_run.export_stats()
+    lens = [(r["length"], r["url"]) for r in urls.collect()]
+    assert lens == sorted(lens, key=lambda x: (-x[0], x[1]))
+    cnts = [(r["count"], r["token"]) for r in tokens.collect()]
+    assert cnts == sorted(cnts, key=lambda x: (-x[0], x[1]))

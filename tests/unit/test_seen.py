@@ -1,0 +1,76 @@
+"""JVM Bloom seen-set operator: correctness (no false negatives,
+exact anti-join equality, incremental == bulk) and plan shape (the
+whole probe/update path must stay inside codegen — zero Python
+stages; the r1 pandas probe was the measured anti-scaling stage)."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawler_search_engine_spark.operators import seen as S
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    seen = spark.range(0, 20_000).select(F.xxhash64("id").alias("url_key"))
+    batch = spark.range(10_000, 45_000).select(
+        F.xxhash64("id").alias("url_key"), F.col("id")
+    )
+    return seen.persist(), batch.persist()
+
+
+def test_no_false_negatives(spark, frames):
+    seen, _ = frames
+    m = S.plan_m_bits(40_000, 16)
+    words = S.bloom_word_updates(seen, "url_key", m)
+    flagged = S.with_maybe_seen(seen, words, "url_key", m)
+    assert flagged.filter(~F.col("_maybe")).count() == 0
+
+
+def test_anti_join_equals_exact(spark, frames):
+    seen, batch = frames
+    m = S.plan_m_bits(40_000, 16)
+    words = S.bloom_word_updates(seen, "url_key", m)
+    unseen, handle = S.anti_join_via_bloom(batch, seen, words, "url_key", m)
+    got = sorted(r["id"] for r in unseen.collect())
+    want = sorted(
+        r["id"]
+        for r in batch.join(seen, "url_key", "left_anti").collect()
+    )
+    handle.unpersist()
+    assert got == want == list(range(20_000, 45_000))
+
+
+def test_incremental_update_equals_bulk_build(spark, frames):
+    seen, batch = frames
+    m = S.plan_m_bits(80_000, 16)
+    a = S.bloom_word_updates(seen, "url_key", m)
+    b = S.bloom_word_updates(batch.select("url_key"), "url_key", m)
+    inc = {r["word_id"]: r["word"] for r in S.or_words(a, b).collect()}
+    bulk = {
+        r["word_id"]: r["word"]
+        for r in S.bloom_word_updates(
+            seen.unionByName(batch.select("url_key")), "url_key", m
+        ).collect()
+    }
+    assert inc == bulk
+
+
+def test_probe_and_update_plans_have_no_python_stages(spark, frames):
+    seen, batch = frames
+    m = S.plan_m_bits(40_000, 16)
+    words = S.bloom_word_updates(seen, "url_key", m)
+    for df in (words, S.with_maybe_seen(batch, words, "url_key", m)):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "EvalPython" not in p, p  # no Batch/ArrowEvalPython nodes
+    # probe is broadcast-join shaped: the batch is never shuffled
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        S.with_maybe_seen(batch, words, "url_key", m).explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p

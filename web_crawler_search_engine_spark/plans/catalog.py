@@ -556,6 +556,49 @@ FROM scores s JOIN documents d ON s.doc_id = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# 13b. context snippet (C10 — shared/webpage.py:55-65,
+#      start_search_engine.py:140-142)
+
+_SNIPPET_TOKENS = ["spark", "merge", "window"]
+
+
+def q_search_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result context snippets: 300 chars from the first
+    occurrence of each query word, later words overwriting (the
+    reference's loop quirk — last match wins). Pure locate/substring
+    Column exprs via plans.search.snippet_col; one codegen'd
+    projection over the scan, no shuffle."""
+    from .search import snippet_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", snippet_col(F.col("text"), _SNIPPET_TOKENS).alias("context")
+    )
+
+
+def _snippet_sql(tokens: list[str]) -> str:
+    body = (
+        "trim(regexp_replace(regexp_replace("
+        "CASE WHEN regexp_extract(text, '(?s)<body[^>]*>(.*)</body>', 1) = ''"
+        " THEN text ELSE regexp_extract(text, '(?s)<body[^>]*>(.*)</body>', 1) END,"
+        " '<[^>]+>', ' ', 'g'), '[^a-zA-Z0-9]+', ' ', 'g'))"
+    )
+    # overwrite semantics = first match scanning words in REVERSE
+    cases = " ".join(
+        f"WHEN strpos(lower(body), '{t}') > 0"
+        f" THEN substr(body, strpos(lower(body), '{t}'), 300)"
+        for t in reversed(tokens)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {body} AS body FROM documents)
+SELECT doc_id, CASE {cases} ELSE '' END AS context FROM t
+"""
+
+
+_SQL_SNIPPET = _snippet_sql(_SNIPPET_TOKENS)
+
+
+# ---------------------------------------------------------------------------
 # 14. bigram generation + rare-n-gram prune  (A4/A5 + F12:
 #     tokenizer.py:57-63, indexer/__init__.py:188-190)
 
@@ -695,6 +738,7 @@ QUERIES = {
     "q_doc_length": q_doc_length,
     "q_tfidf": q_tfidf,
     "q_search_top5": q_search_top5,
+    "q_search_snippet": q_search_snippet,
     "q_bigram_prune": q_bigram_prune,
     "q_hourly_events": q_hourly_events,
     "q_sessionize": q_sessionize,
@@ -714,6 +758,7 @@ ORACLE_SQL = {
     "q_doc_length": _SQL_DOC_LEN,
     "q_tfidf": _SQL_TFIDF,
     "q_search_top5": _SQL_SEARCH,
+    "q_search_snippet": _SQL_SNIPPET,
     "q_bigram_prune": _SQL_BIGRAM,
     "q_hourly_events": _SQL_HOURLY,
     "q_sessionize": _SQL_SESSIONIZE,

@@ -11,37 +11,51 @@ crawler/worker.py:73-111), as pure DataFrame transformations:
   3. window-ranked politeness admission (P7, operators/scheduler.py)
   4. fetch join vs the corpus (the deterministic network, J5 —
      reference analog utils/download.py:4-18)
-  5. link scrape -> validity -> canonicalize -> seen anti-join (X1)
+  5. pages sink (S6 — crawler/worker.py:36-49): every successful
+     fetch appends one image+caption page row; the indexer consumes
+     THIS table (plans/indexer.py), chaining crawl→index→search
+  6. link scrape -> validity -> canonicalize -> seen anti-join (X1)
      -> deterministic discovery_seq assignment
-  6. token stats aggregation (A1-A3: the lock-guarded dict merge of
+  7. token stats aggregation (A1-A3: the lock-guarded dict merge of
      crawler/worker.py:113-127 is exactly partial+final groupBy)
-  7. snapshot commit (S7 — resumable, north_rule)
+  8. snapshot commit (S7 — resumable, north_rule)
 
 Parity: bit-for-bit equal to tests/oracle/simulator.RoundSim (same
 per-round admitted sequences, same final seen set/statuses/lengths),
 which in turn closes to the same URL-seen set as the single-worker
 reference model. Verified in tests/parity/.
 
-Scale notes (the 100 TB design):
-  * The frontier is hash-bucketed by host (``bucket_frontier``) so
-    the admission window shuffles host-locally round after round.
-  * Admission is salted two-phase top-K — a Zipf-hot host never
-    funnels its pending set through one task (operators/scheduler.py).
-  * The fetch join keys on xxhash64(url) — uniformly distributed, no
-    key skew regardless of host skew; AQE splits stragglers.
-  * The seen-set anti-join gets a Bloom pre-filter (operators/seen.py)
-    that prunes definite-unseen links before the shuffle; the exact
-    anti-join stays authoritative (FPs must not drop URLs).
-  * State updates are full-snapshot rewrites here; at 10^10 URLs the
-    frontier update becomes an append-only status log + latest-wins
-    compaction (SURVEY §7.7.7) — the SnapshotStore interface is the
-    seam where that lands.
+Scale design (the 100 TB / 10^10-URL point — what changed in r2):
+  * Per-round state writes are O(round delta), not O(frontier): the
+    frontier is an APPEND-ONLY status log (discoveries, denials,
+    fetches) with latest-wins compaction every ``compact_every``
+    rounds (SURVEY §7.7.7 — the r1 full-snapshot rewrite is gone).
+    Only the shrinking ``pending`` working set is rewritten, because
+    admission must scan exactly that.
+  * The URL-seen Bloom filter is a (word_id, word) DataFrame updated
+    by union + bit_or groupBy and probed with broadcast joins — all
+    JVM codegen, no pandas UDF, no driver pass (operators/seen.py).
+    Word DELTAS append to the ``seen_bloom`` log for resume; the
+    in-memory filter is localCheckpoint'd so per-round lineage stays
+    constant.
+  * The exact seen backstop broadcasts the (Bloom-pruned) maybe-keys
+    INTO a column-pruned semi scan of the ledger — the ledger is
+    scanned (embarrassingly parallel, the phase measured at 0.85
+    N→4N efficiency) but never shuffled; parquet Bloom metadata on
+    url_key (sources/checkpoints.KEY_BLOOM_OPTIONS) lets row groups
+    skip.
+  * The frontier is hash-bucketed by host so the admission window
+    shuffles host-locally; admission itself is salted two-phase
+    top-K (a Zipf-hot host never funnels its pending set through one
+    task — operators/scheduler.py).
+  * The fetch join keys on xxhash64(url) — uniform, skew-free
+    regardless of host skew; AQE splits stragglers.
 """
 
 from __future__ import annotations
 
 import tempfile
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -57,7 +71,7 @@ from ..operators.scheduler import (
     politeness_quota,
 )
 from ..schemas import FRONTIER
-from ..sources.checkpoints import SnapshotStore
+from ..sources.checkpoints import KEY_BLOOM_OPTIONS, SnapshotStore
 
 
 @dataclass
@@ -70,9 +84,30 @@ class CrawlConfig:
     host_buckets: int = 32
     use_bloom: bool = True
     bloom_bits_per_key: int = 16
+    bloom_k: int = 3
+    bloom_min_capacity: int = 1 << 16
+    compact_every: int = 8
+    # above this many distinct parents per round, discovery_seq
+    # assignment switches from the driver prefix-sum to the fully
+    # distributed range-partitioned path (operators/scheduler.py)
+    seq_driver_parent_limit: int = 200_000
 
 
 _FRONTIER_COLS = [f.name for f in FRONTIER.fields] + ["allowed"]
+
+_PAGE_COLS = [
+    "url_key",
+    "url",
+    "host",
+    "content",
+    "image_id",
+    "bytes",
+    "w",
+    "h",
+    "fmt",
+    "caption",
+    "phash",
+]
 
 
 class CrawlJob:
@@ -93,16 +128,61 @@ class CrawlJob:
         self.robots_src = robots_src
         self._allows = H.make_robots_allows(config.user_agent)
         self._delay = H.make_robots_delay(config.user_agent)
-        self.frontier: DataFrame | None = None
+        self.pending: DataFrame | None = None
         self.robots: DataFrame | None = None
-        self.token_stats: DataFrame | None = None
         self.round: int = 0
-        # next discovery_seq, tracked driver-side (refreshed from the
-        # end-of-round stats action; None => recompute lazily)
+        # next discovery_seq, tracked driver-side from per-round
+        # new_urls counts; None => recompute lazily from the log
         self._base: int | None = None
-        # Bloom shard blobs, built once and updated incrementally per
-        # round (P8 steady state); None => (re)build from the frontier
-        self._seen_blobs: list[dict] | None = None
+        # in-memory Bloom word table (localCheckpoint'd per round);
+        # None => (re)build once from the committed seen_bloom log
+        self._seen_words: DataFrame | None = None
+        self._m_bits: int | None = None
+        self._n_seen: int = 0
+
+    # -- views over the append-only log --------------------------------
+    def _log(self) -> DataFrame:
+        return self.store.load_log("frontier_log")
+
+    @property
+    def frontier(self) -> DataFrame:
+        """Latest-wins view of the status log: one row per url_key.
+        Version = the ``round`` column; a denial re-stamps the
+        discovery round, so ties break pending-last."""
+        w = Window.partitionBy("url_key").orderBy(
+            F.desc("round"),
+            F.asc(F.when(F.col("status") == "pending", 1).otherwise(0)),
+        )
+        return (
+            self._log()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    @property
+    def token_stats(self) -> DataFrame:
+        """Merged token counts over the per-round deltas (A1)."""
+        return (
+            self.store.load_log("token_log")
+            .groupBy("token")
+            .agg(F.sum("count").cast("long").alias("count"))
+        )
+
+    def pages(self) -> DataFrame:
+        """All fetched pages (S6) — the indexer's input table."""
+        return self.store.load_log("pages")
+
+    def export_stats(self) -> tuple[DataFrame, DataFrame]:
+        """A10 checkpoint-export ordering (crawler/__init__.py:43-44):
+        discovered urls by page length desc, token counts by count
+        desc. The reference's ties follow dict-insertion order (not
+        reproducible); the contract here is url asc / token asc."""
+        urls = self.frontier.select("url", "status", "length").orderBy(
+            F.desc("length"), F.asc("url")
+        )
+        tokens = self.token_stats.orderBy(F.desc("count"), F.asc("token"))
+        return urls, tokens
 
     # ------------------------------------------------------------------
     def start(self, seed_urls: list[str]) -> None:
@@ -130,12 +210,22 @@ class CrawlJob:
             F.lit(None).cast("boolean").alias("allowed"),
         )
         self.round = 0
-        self._base = None
         empty_robots = self.spark.createDataFrame(
             [], "host string, fetched boolean, rules string, crawl_delay double, fetch_round int"
         )
         empty_stats = self.spark.createDataFrame([], "token string, count long")
-        self._commit(frontier, empty_robots, empty_stats, admitted=None, metrics=None)
+        self.store.commit(
+            0,
+            tables={"pending": frontier, "robots": empty_robots},
+            log_appends={"frontier_log": frontier, "token_log": empty_stats},
+            options={"frontier_log": KEY_BLOOM_OPTIONS, "pending": KEY_BLOOM_OPTIONS},
+        )
+        self.pending = self.store.load("pending")
+        self.robots = self.store.load("robots")
+        self._base = self.pending.count()
+        self._n_seen = self._base
+        self._seen_words = None
+        self._m_bits = None
 
     def resume(self) -> int:
         """Restart from the latest published snapshot (S3 —
@@ -145,35 +235,47 @@ class CrawlJob:
             raise FileNotFoundError("no snapshot to resume from")
         self.round = r
         self._base = None
-        self._seen_blobs = None
-        self.frontier = self.store.load("frontier")
+        self.pending = self.store.load("pending")
         self.robots = self.store.load("robots")
-        self.token_stats = self.store.load("token_stats")
+        self._seen_words = None
+        meta = (self.store.manifest() or {}).get("meta", {}).get("seen_bloom", {})
+        self._m_bits = meta.get("m_bits")
+        self._n_seen = meta.get("n_keys", 0)
         return r
 
-    # ------------------------------------------------------------------
-    def _commit(self, frontier, robots, token_stats, admitted, metrics) -> None:
+    # -- Bloom filter lifecycle ----------------------------------------
+    def _ensure_filter(self) -> None:
+        """Build (or rebuild after resume / capacity growth) the seen
+        filter from the committed log — one distributed job, then
+        incrementally maintained."""
         cfg = self.config
-        frontier = frontier.repartition(cfg.host_buckets, "host")
-        tables = {
-            "frontier": frontier,
-            "robots": robots,
-            "token_stats": token_stats,
-        }
-        if admitted is not None:
-            tables["admitted"] = admitted
-        if metrics is not None:
-            tables["metrics"] = metrics
-        self.store.commit(self.round, tables)
-        self.frontier = self.store.load("frontier")
-        self.robots = self.store.load("robots")
-        self.token_stats = self.store.load("token_stats")
+        if self._n_seen == 0:
+            self._n_seen = self._log().select("url_key").distinct().count()
+        want_m = seen_ops.plan_m_bits(
+            max(self._n_seen * 4, cfg.bloom_min_capacity), cfg.bloom_bits_per_key
+        )
+        if self._seen_words is not None and self._m_bits == want_m:
+            return
+        self._m_bits = want_m
+        self._seen_words = seen_ops.bloom_word_updates(
+            self._log().select("url_key"), "url_key", want_m, cfg.bloom_k
+        ).localCheckpoint(eager=False)
+
+    def _grow_filter_if_needed(self) -> None:
+        cfg = self.config
+        capacity = (self._m_bits or 0) // cfg.bloom_bits_per_key
+        if self._n_seen > capacity:
+            # FP rate would degrade past design point: rebuild at 4x
+            # headroom from the ledger (distributed; correctness never
+            # depended on it — the exact backstop is authoritative)
+            self._seen_words = None
+            self._ensure_filter()
 
     # ------------------------------------------------------------------
     def run_round(self) -> dict:
         cfg = self.config
         r = self.round + 1
-        pending = self.frontier.filter(F.col("status") == "pending")
+        pending = self.pending
 
         # 1. robots fetch-once for first-contact hosts (P6/J1/U6)
         new_hosts = (
@@ -222,24 +324,41 @@ class CrawlJob:
             - F.when(F.col("fetch_round") == r, F.lit(1)).otherwise(F.lit(0)),
         )
         max_quota = int(cfg.round_duration // cfg.politeness)
-        admitted = admit(
-            with_quota.drop("crawl_delay", "fetch_round"),
-            max_quota=max_quota,
-            salt_buckets=cfg.salt_buckets,
-        ).drop("quota")
+        admitted = (
+            admit(
+                with_quota.drop("crawl_delay", "fetch_round"),
+                max_quota=max_quota,
+                salt_buckets=cfg.salt_buckets,
+            )
+            .drop("quota")
+            .persist()
+        )
 
         # 4. fetch join vs the corpus (J5) — keys are xxhash64(url):
-        #    uniform, skew-free regardless of host skew
+        #    uniform, skew-free regardless of host skew. The full
+        #    image+caption payload rides along for the pages sink.
         corpus = self.corpus.select(
             F.col("url_key"),
             F.col("url").alias("_corpus_url"),
-            F.col("content"),
-            F.col("bytes"),
+            "content",
+            "image_id",
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+            "caption",
+            "phash",
         )
         fetched = (
             admitted.join(corpus, "url_key", "left")
             .filter(F.col("_corpus_url").isNull() | (F.col("_corpus_url") == F.col("url")))
             .drop("_corpus_url")
+            .persist()
+        )
+        # 5. pages sink (S6 — crawler/worker.py:36-49): one row per
+        #    successful fetch, image payload + caption carried through
+        pages = fetched.filter(F.col("content").isNotNull()).select(
+            *_PAGE_COLS, F.lit(r).alias("round")
         )
         # should_scrape gate (F9 — crawler/worker.py:53-71)
         head = F.substring(F.col("content"), 1, 256)
@@ -248,9 +367,8 @@ class CrawlJob:
             & (F.octet_length("content") >= 256)
             & (head.contains("<html") | head.contains("<HTML"))
         )
-        scrapeable = scrapeable.persist()
 
-        # 5. scrape -> validity -> canonicalize -> X1 seen-dedup
+        # 6. scrape -> validity -> canonicalize -> X1 seen-dedup
         raw_links = scrapeable.select(
             F.col("discovery_seq").alias("parent_seq"),
             (F.col("depth") + 1).alias("depth"),
@@ -271,42 +389,53 @@ class CrawlJob:
         )
         # seen-set anti-join, Bloom-accelerated (X1/P8): the Bloom
         # pre-filter only skips definite-unseen keys; the exact
-        # anti-join remains authoritative (FP-safe).
-        seen_keys = self.frontier.select("url_key")
+        # backstop remains authoritative (FP-safe). All JVM-side.
+        seen_keys = self._log().select("url_key")
+        probe_handle: DataFrame | None = None
         if cfg.use_bloom:
-            if self._seen_blobs is None:
-                # first round or post-resume: one distributed build
-                # from the ledger; every later round updates the blobs
-                # incrementally (see end of run_round)
-                self._seen_blobs = seen_ops.build_seen_filter_blobs(
-                    seen_keys, "url_key", cfg.bloom_bits_per_key
-                )
-            unseen = seen_ops.anti_join_with_prebuilt(
-                batch_unique, seen_keys, self._seen_blobs, "url_key"
+            self._ensure_filter()
+            unseen, probe_handle = seen_ops.anti_join_via_bloom(
+                batch_unique,
+                seen_keys,
+                self._seen_words,
+                "url_key",
+                m_bits=self._m_bits,
+                k=cfg.bloom_k,
             )
         else:
-            unseen = batch_unique.join(seen_keys, "url_key", "left_anti")
+            unseen = batch_unique.join(seen_keys, "url_key", "left_anti").persist()
+            probe_handle = unseen
         if self._base is None:
             mx = self.frontier.agg(F.max("discovery_seq")).collect()[0][0]
             self._base = (mx if mx is not None else -1) + 1
         base = self._base
         # parents are this round's admitted pages (budget-bounded) =>
-        # the prefix-sum path; values identical to the global dense rank
-        new_links = assign_seq_within_parents(
-            unseen, "parent_seq", "pos", base=base
-        ).select(
-            "url_key",
-            "url",
-            U.netloc_of(F.col("url")).alias("host"),
-            F.col("depth").cast("int"),
-            "discovery_seq",
-            F.lit("pending").alias("status"),
-            F.lit(0).cast("long").alias("length"),
-            F.lit(r).alias("round"),
-            F.lit(None).cast("boolean").alias("allowed"),
+        # the driver prefix-sum path; above seq_driver_parent_limit
+        # parents it switches to the fully distributed range path.
+        # Values identical to the global dense rank either way.
+        new_links = (
+            assign_seq_within_parents(
+                unseen,
+                "parent_seq",
+                "pos",
+                base=base,
+                max_driver_parents=cfg.seq_driver_parent_limit,
+            )
+            .select(
+                "url_key",
+                "url",
+                U.netloc_of(F.col("url")).alias("host"),
+                F.col("depth").cast("int"),
+                "discovery_seq",
+                F.lit("pending").alias("status"),
+                F.lit(0).cast("long").alias("length"),
+                F.lit(r).alias("round"),
+                F.lit(None).cast("boolean").alias("allowed"),
+            )
+            .persist()  # consumed by pending, the log delta, and metrics
         )
 
-        # 6. token stats (A1-A3) + page lengths
+        # 7. token stats delta (A1-A3) + page lengths
         lengths = scrapeable.select(
             "url_key", T.page_token_count(F.col("content")).alias("_len")
         )
@@ -326,72 +455,175 @@ class CrawlJob:
             .groupBy("token")
             .agg(F.count("*").cast("long").alias("count"))
         )
-        token_stats = (
-            self.token_stats.unionByName(round_tokens)
-            .groupBy("token")
-            .agg(F.sum("count").cast("long").alias("count"))
+
+        # 8. per-partition lineage + fetch metrics (north_rule):
+        #    admitted/fetched/bytes from the fetch stage, denials and
+        #    discoveries from theirs — full METRICS schema.
+        def _pp(df: DataFrame, aggs: list) -> DataFrame:
+            return (
+                df.withColumn("partition_id", F.spark_partition_id())
+                .groupBy("partition_id")
+                .agg(*aggs)
+            )
+
+        metrics = (
+            _pp(
+                fetched,
+                [
+                    F.count("*").alias("admitted"),
+                    F.count("content").alias("fetched"),
+                    F.coalesce(F.sum(F.octet_length("bytes")), F.lit(0)).alias(
+                        "bytes_fetched"
+                    ),
+                ],
+            )
+            .join(
+                _pp(denied, [F.count("*").alias("robots_denied")]),
+                "partition_id",
+                "full",
+            )
+            .join(
+                _pp(new_links, [F.count("*").alias("new_urls")]),
+                "partition_id",
+                "full",
+            )
+            .select(
+                F.lit(r).alias("round"),
+                "partition_id",
+                *[
+                    F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                    for c in (
+                        "admitted",
+                        "fetched",
+                        "robots_denied",
+                        "new_urls",
+                        "bytes_fetched",
+                    )
+                ],
+            )
         )
 
-        # 7. frontier snapshot: disjoint union of untouched + updated
-        untouched = self.frontier.filter(F.col("status") != "pending")
+        # 9. next pending working set (the ONLY per-round full-table
+        #    rewrite — it shrinks as the crawl drains) + the O(delta)
+        #    status-log append.
         admitted_keys = admitted.select("url_key")
         remaining = candidates.join(admitted_keys, "url_key", "left_anti")
-        frontier_next = (
-            untouched.select(*_FRONTIER_COLS)
-            .unionByName(denied.select(*_FRONTIER_COLS))
+        pending_next = remaining.select(*_FRONTIER_COLS).unionByName(
+            new_links.select(*_FRONTIER_COLS)
+        )
+        log_delta = (
+            denied.select(*_FRONTIER_COLS)
             .unionByName(fetched_rows.select(*_FRONTIER_COLS))
-            .unionByName(remaining.select(*_FRONTIER_COLS))
             .unionByName(new_links.select(*_FRONTIER_COLS))
         )
-
         admitted_log = admitted.select(
             F.lit(r).alias("round"), "host", "url", "discovery_seq"
         )
-        # per-partition lineage + fetch metrics (north_rule)
-        metrics = (
-            fetched.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("partition_id")
-            .agg(
-                F.count("*").alias("admitted"),
-                F.count("content").alias("fetched"),
-                F.coalesce(F.sum(F.octet_length("bytes")), F.lit(0)).alias(
-                    "bytes_fetched"
-                ),
-            )
-            .withColumn("round", F.lit(r))
-        )
 
         self.round = r
-        self._commit(frontier_next, robots, token_stats, admitted_log, metrics)
-        scrapeable.unpersist()
-        # one action yields both the termination counts and the next
-        # discovery_seq base (no separate max-seq job next round)
-        rows = (
-            self.frontier.groupBy("status")
-            .agg(F.count("*").alias("n"), F.max("discovery_seq").alias("mx"))
-            .collect()
+        self.store.commit(
+            r,
+            tables={
+                "pending": pending_next.repartition(cfg.host_buckets, "host"),
+                "robots": robots,
+                "admitted": admitted_log,
+                "metrics": metrics,
+            },
+            log_appends={
+                "frontier_log": log_delta,
+                "token_log": round_tokens,
+                "pages": pages,
+            },
+            options={
+                "frontier_log": KEY_BLOOM_OPTIONS,
+                "pending": KEY_BLOOM_OPTIONS,
+                "pages": KEY_BLOOM_OPTIONS,
+            },
         )
-        counts = {row["status"]: row["n"] for row in rows}
-        if rows:
-            self._base = max((row["mx"] or -1) for row in rows) + 1
-        if cfg.use_bloom and self._seen_blobs is not None:
-            # incremental ledger-filter update with this round's new
-            # links (read back from the committed snapshot — no
-            # recompute; volume is bounded by the round's discoveries)
-            import numpy as np
+        self.pending = self.store.load("pending")
+        self.robots = self.store.load("robots")
 
+        # counts from the committed delta tables (no O(frontier) scan)
+        msum = (
+            self.store.load("metrics")
+            .agg(
+                F.sum("admitted").alias("admitted"),
+                F.sum("fetched").alias("fetched"),
+                F.sum("robots_denied").alias("robots_denied"),
+                F.sum("new_urls").alias("new_urls"),
+                F.sum("bytes_fetched").alias("bytes_fetched"),
+            )
+            .collect()[0]
+            .asDict()
+        )
+        msum = {k: int(v or 0) for k, v in msum.items()}
+        n_pending = self.pending.count()
+        self._base = base + msum["new_urls"]
+        self._n_seen += msum["new_urls"]
+
+        # incremental ledger-filter update: distributed word-delta
+        # build over this round's committed discoveries, OR'd in via
+        # bit_or groupBy — no driver pass (r1's toPandas OR-in is
+        # gone). Word deltas append to the seen_bloom log for resume.
+        if cfg.use_bloom and msum["new_urls"] > 0:
             new_keys = (
-                self.frontier.filter(
-                    (F.col("round") == r) & (F.col("status") == "pending")
-                )
+                self.store.load_log("frontier_log")
+                .filter((F.col("round") == r) & (F.col("status") == "pending"))
                 .select("url_key")
-                .toPandas()["url_key"]
-                .to_numpy(np.int64)
             )
-            self._seen_blobs = seen_ops.update_seen_filter(
-                self._seen_blobs, new_keys
+            delta_words = seen_ops.bloom_word_updates(
+                new_keys, "url_key", self._m_bits, cfg.bloom_k
             )
-        return {"round": r, **counts}
+            self.store.commit(
+                r,
+                log_appends={"seen_bloom": delta_words},
+                meta={
+                    "seen_bloom": {
+                        "m_bits": self._m_bits,
+                        "k": cfg.bloom_k,
+                        "n_keys": self._n_seen,
+                    }
+                },
+                carry_tables=True,
+            )
+            self._seen_words = seen_ops.or_words(
+                self._seen_words,
+                self.store.load_log_delta("seen_bloom", r),
+            ).localCheckpoint(eager=False)
+            self._grow_filter_if_needed()
+
+        for h in (admitted, fetched, new_links, probe_handle):
+            if h is not None:
+                h.unpersist()
+
+        # latest-wins compaction: bounds the log read cost at
+        # O(frontier + compact_every · delta) (SURVEY §7.7.7)
+        if cfg.compact_every and r % cfg.compact_every == 0:
+            self._compact(r)
+
+        return {"round": r, "pending": n_pending, **msum}
+
+    # ------------------------------------------------------------------
+    def _compact(self, r: int) -> None:
+        """Rewrite each log's base as its merged view and clear the
+        delta list (Iceberg rewrite-data-files analog). The pages log
+        is append-only facts — no merge needed, never compacted."""
+        compacted = {
+            "frontier_log": self.frontier,
+            "token_log": self.token_stats,
+        }
+        if self.config.use_bloom and self.store.log_delta_count("seen_bloom"):
+            compacted["seen_bloom"] = (
+                self.store.load_log("seen_bloom")
+                .groupBy("word_id")
+                .agg(F.bit_or("word").alias("word"))
+            )
+        self.store.commit(
+            r,
+            log_compact=compacted,
+            options={"frontier_log": KEY_BLOOM_OPTIONS},
+            carry_tables=True,
+        )
 
     # ------------------------------------------------------------------
     def run(self, max_rounds: int = 1000) -> dict:

@@ -193,30 +193,74 @@ def parse_doc(content: pd.Series, url: pd.Series) -> pd.DataFrame:
     )
 
 
-def build_index(pages: DataFrame) -> tuple[DataFrame, DataFrame, int]:
-    """pages(url, content) -> (docs, postings, n_docs).
+def parse_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, content) -> (url, html_ok, title, content_hash,
+    postings): the expensive (pandas-UDF) stage, gated by F11 size and
+    F10 html checks. Pure per-page function of (url, content) — its
+    output is what the incremental ledger caches across resumes.
 
-    docs: (doc_id, url, title); postings: (token, doc_id, tf, score).
-    """
+    Non-html pages are KEPT as null rows (html_ok=false): doc ids are
+    assigned over all size-gated pages (reference: the rglob list is
+    enumerated before the html check), so the gate leaves id GAPS that
+    finalize_index must reproduce — and the ledger then also skips
+    re-examining non-html pages on resume."""
     sized = pages.filter(F.octet_length("content") <= MAX_DOC_BYTES)
-    ids = assign_global_seq(
-        sized.select("url", "content"), ["url"], base=0, seq_col="doc_id"
-    )
     # F10 html gate (indexer/worker.py:10-12)
-    html_ok = ids.filter(
-        F.locate("<html", F.lower(F.substring("content", 1, 1024))) > 0
+    flagged = sized.withColumn(
+        "html_ok", F.locate("<html", F.lower(F.substring("content", 1, 1024))) > 0
     )
-    parsed = html_ok.withColumn("d", parse_doc(F.col("content"), F.col("url"))).select(
-        "doc_id", "url", F.col("d.title").alias("title"),
+    ok = flagged.filter(F.col("html_ok")).withColumn(
+        "d", parse_doc(F.col("content"), F.col("url"))
+    ).select(
+        "url",
+        "html_ok",
+        F.col("d.title").alias("title"),
         F.col("d.content_hash").alias("content_hash"),
         F.col("d.postings").alias("postings"),
     )
-    # X2 global first-wins dedup on the rolling content hash
-    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    bad = flagged.filter(~F.col("html_ok")).select(
+        "url",
+        "html_ok",
+        F.lit(None).cast(StringType()).alias("title"),
+        F.lit(None).cast(LongType()).alias("content_hash"),
+        F.lit(None).cast(_PARSE_SCHEMA["postings"].dataType).alias("postings"),
+    )
+    return ok.unionByName(bad)
+
+
+def finalize_index(
+    parsed: DataFrame, dedup_shards: int | None = None
+) -> tuple[DataFrame, DataFrame, int]:
+    """(url, html_ok, title, content_hash, postings) -> (docs,
+    postings, n).
+
+    Deterministic doc-id assignment (url order), X2 first-wins dedup,
+    df/tf-idf scoring — all JVM-side. Runs over the FULL parsed set on
+    every (re)build: scores depend on global N and df, so the merge
+    pass is always global (the reference recomputes tf-idf at its
+    final k-way merge too, indexer/__init__.py:188-198); only the
+    parse stage is incremental.
+
+    ``dedup_shards``: None = global first-wins dedup (the golden
+    single-worker closure). An int W reproduces the reference's
+    PER-WORKER dedup (indexer/worker.py:26,118-122 — each process
+    keeps its own hash set) with a deterministic worker assignment:
+    shard = pmod(xxhash64(url), W); duplicates are only dropped within
+    a shard. W=1 equals global."""
+    # ids over ALL size-gated pages (html gate afterwards => gapped
+    # ids, matching the reference's enumerate-then-gate order)
+    ids = assign_global_seq(parsed, ["url"], base=0, seq_col="doc_id").filter(
+        F.col("html_ok")
+    )
+    shard_key = (
+        F.lit(0) if dedup_shards is None else F.pmod(F.xxhash64("url"), F.lit(dedup_shards))
+    )
+    w = Window.partitionBy("content_hash", "_shard").orderBy("doc_id")
     survivors = (
-        parsed.withColumn("_rn", F.row_number().over(w))
+        ids.withColumn("_shard", shard_key)
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_shard", "html_ok")
         .persist()
     )
     n_docs = survivors.count()
@@ -241,6 +285,37 @@ def build_index(pages: DataFrame) -> tuple[DataFrame, DataFrame, int]:
         .select("token", "doc_id", "tf", "score")
     )
     return docs, postings, n_docs
+
+
+def build_index(
+    pages: DataFrame, dedup_shards: int | None = None
+) -> tuple[DataFrame, DataFrame, int]:
+    """pages(url, content) -> (docs, postings, n_docs).
+
+    docs: (doc_id, url, title); postings: (token, doc_id, tf, score).
+    """
+    return finalize_index(parse_pages(pages), dedup_shards)
+
+
+def build_index_incremental(
+    pages: DataFrame, store, round_id: int = 0
+) -> tuple[DataFrame, DataFrame, int]:
+    """Resumable index build (S8 — indexer/__init__.py:56-63,103): the
+    ``parsed_docs`` ledger in ``store`` (a SnapshotStore) anti-joins
+    away already-parsed URLs, so a killed-and-restarted build re-runs
+    the pandas parse ONLY for new pages. Doc ids, dedup, and tf-idf
+    are then recomputed over the full ledger — deterministic functions
+    of the url set, so an interrupted-then-resumed build equals the
+    single-shot run bit for bit (tested in tests/e2e)."""
+    try:
+        prev_urls = store.load_log("parsed_docs").select("url")
+    except FileNotFoundError:
+        prev_urls = None
+    fresh = pages if prev_urls is None else pages.join(
+        prev_urls, "url", "left_anti"
+    )
+    store.commit(round_id, log_appends={"parsed_docs": parse_pages(fresh)})
+    return finalize_index(store.load_log("parsed_docs"))
 
 
 def write_index(docs: DataFrame, postings: DataFrame, path: str, buckets: int = 32):

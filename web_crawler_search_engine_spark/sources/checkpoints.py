@@ -4,14 +4,25 @@ The north_rule asks for Iceberg snapshots; this sandbox has no
 Iceberg runtime jar, so this module provides the same contract with
 plain parquet + an atomically-renamed JSON manifest per snapshot:
 
-  * ``commit(round, {name: df})`` writes each table to
+  * ``commit(round, tables={...})`` writes each full table to
     ``<root>/<name>/r<round>/`` and then atomically publishes
     ``manifest_r<round>.json`` + the LATEST pointer (os.replace).
     Readers resolve tables only through a manifest, so a killed run
     mid-write is invisible — the previous snapshot stays current
     (mirrors frontier.json checkpoint/resume, frontier.py:42-62).
-  * ``latest()`` / ``load(name)`` resume from the newest published
-    snapshot; time travel via ``load(name, round=k)``.
+  * ``commit(round, log_appends={...})`` appends a DELTA file group
+    to an append-only log table (``<root>/<name>/d<round>/``); the
+    manifest carries the live file list (Iceberg's manifest-list
+    analog). ``load_log(name)`` reads base+deltas as one DataFrame.
+    This is the O(round-delta) write path — the frontier status log,
+    seen-Bloom word deltas, fetched pages, and token counts append
+    per round instead of rewriting O(frontier) state (SURVEY §7.7.7).
+  * ``commit(round, log_compact={...})`` replaces a log's base with a
+    compacted table and clears its delta list (latest-wins/merge
+    semantics are the CALLER's — the store only swaps file lists,
+    like an Iceberg rewrite-data-files action).
+  * ``latest_round()`` / ``load`` / ``load_log`` resume from the
+    newest published snapshot; time travel via ``round_id=k``.
 
 On a real cluster, swap this class for ``df.writeTo(table).append()``
 against an Iceberg catalog — the engine only touches the interface.
@@ -25,6 +36,14 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+# parquet column Bloom filters + dictionary stats on the key column:
+# the exact-backstop semi scans (ledger ⋉ maybe_keys) and resume reads
+# can skip row groups without touching data pages.
+KEY_BLOOM_OPTIONS = {
+    "parquet.bloom.filter.enabled#url_key": "true",
+    "parquet.bloom.filter.expected.ndv#url_key": "1000000",
+}
+
 
 class SnapshotStore:
     def __init__(self, spark: SparkSession, root: str | os.PathLike):
@@ -36,17 +55,55 @@ class SnapshotStore:
     def commit(
         self,
         round_id: int,
-        tables: dict[str, DataFrame],
+        tables: dict[str, DataFrame] | None = None,
         partition_by: dict[str, list[str]] | None = None,
+        log_appends: dict[str, DataFrame] | None = None,
+        log_compact: dict[str, DataFrame] | None = None,
+        options: dict[str, dict[str, str]] | None = None,
+        meta: dict | None = None,
+        carry_tables: bool = False,
     ) -> None:
-        manifest = {"round": round_id, "tables": {}}
-        for name, df in tables.items():
-            path = self.root / name / f"r{round_id}"
+        prev = self.manifest()
+        # full tables are per-manifest (a round's manifest lists what
+        # THAT round wrote — e.g. the per-round `admitted` table)
+        # unless carry_tables is set (follow-up commits within the
+        # same round: filter-delta append, compaction); log tables and
+        # meta always carry their state forward.
+        manifest = {
+            "round": round_id,
+            "tables": dict((prev or {}).get("tables", {})) if carry_tables else {},
+            "logs": {
+                k: dict(v) for k, v in ((prev or {}).get("logs", {})).items()
+            },
+            "meta": dict((prev or {}).get("meta", {})),
+        }
+        manifest["meta"].update(meta or {})
+
+        def write(df: DataFrame, path: Path, name: str, cols: list[str]):
             writer = df.write.mode("overwrite")
-            for col in (partition_by or {}).get(name, []):
+            for key, val in (options or {}).get(name, {}).items():
+                writer = writer.option(key, val)
+            for col in cols:
                 writer = writer.partitionBy(col)
             writer.parquet(str(path))
+
+        for name, df in (tables or {}).items():
+            path = self.root / name / f"r{round_id}"
+            write(df, path, name, (partition_by or {}).get(name, []))
             manifest["tables"][name] = str(path)
+        for name, df in (log_compact or {}).items():
+            path = self.root / name / f"c{round_id}"
+            write(df, path, name, (partition_by or {}).get(name, []))
+            manifest["logs"][name] = {"base": str(path), "deltas": []}
+        for name, df in (log_appends or {}).items():
+            path = self.root / name / f"d{round_id}"
+            write(df, path, name, (partition_by or {}).get(name, []))
+            info = manifest["logs"].get(name, {"base": None, "deltas": []})
+            manifest["logs"][name] = {
+                "base": info.get("base"),
+                "deltas": list(info.get("deltas", [])) + [str(path)],
+            }
+
         tmp = self.root / f".manifest_r{round_id}.tmp"
         tmp.write_text(json.dumps(manifest, indent=1))
         os.replace(tmp, self.root / f"manifest_r{round_id}.json")
@@ -75,6 +132,34 @@ class SnapshotStore:
         if m is None or name not in m["tables"]:
             raise FileNotFoundError(f"no snapshot for table {name!r}")
         return self.spark.read.parquet(m["tables"][name])
+
+    def log_paths(self, name: str, round_id: int | None = None) -> list[str]:
+        m = self.manifest(round_id)
+        if m is None or name not in m.get("logs", {}):
+            raise FileNotFoundError(f"no log table {name!r}")
+        info = m["logs"][name]
+        return ([info["base"]] if info.get("base") else []) + list(
+            info.get("deltas", [])
+        )
+
+    def load_log(self, name: str, round_id: int | None = None) -> DataFrame:
+        return self.spark.read.parquet(*self.log_paths(name, round_id))
+
+    def load_log_delta(self, name: str, delta_round: int) -> DataFrame:
+        """Just the delta file group appended at ``delta_round``."""
+        suffix = f"{os.sep}d{delta_round}"
+        for p in self.log_paths(name):
+            if p.endswith(suffix):
+                return self.spark.read.parquet(p)
+        raise FileNotFoundError(f"log {name!r} has no delta for round {delta_round}")
+
+    def log_delta_count(self, name: str, round_id: int | None = None) -> int:
+        """Number of live (uncompacted) delta file groups — the
+        caller's compaction trigger."""
+        m = self.manifest(round_id)
+        if m is None or name not in m.get("logs", {}):
+            return 0
+        return len(m["logs"][name].get("deltas", []))
 
     def rounds(self) -> list[int]:
         return sorted(

@@ -79,26 +79,26 @@ def _make_admitter(budget: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         admitted = state.get[0] if state.exists else 0
-        out = []
-        for pdf in pdfs:
+        # a key's micro-batch rows can span several Arrow chunks:
+        # concatenate BEFORE sorting so admission follows the global
+        # (ts, event_id) order within the batch, not chunk arrival
+        # order (chunk-local sort was nondeterministic at scale)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"])
             room = max(budget - admitted, 0)
             take = pdf.head(room)
             if len(take):
                 ranks = range(admitted + 1, admitted + len(take) + 1)
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "key": key[0],
-                            "event_id": take["event_id"].to_numpy(),
-                            "admitted_rank": list(ranks),
-                        }
-                    )
+                yield pd.DataFrame(
+                    {
+                        "key": key[0],
+                        "event_id": take["event_id"].to_numpy(),
+                        "admitted_rank": list(ranks),
+                    }
                 )
                 admitted += len(take)
         state.update((admitted,))
-        if out:
-            yield from out
 
     return admit_fn
 
