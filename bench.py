@@ -191,7 +191,11 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
         file=sys.stderr,
     )
     t1 = time.monotonic()
-    new_links = assign_seq_within_parents(unseen, "parent_seq", "pos", base=n)
+    # persisted: consumed by the count here AND the filter update below
+    # (the real engine reads the committed parquet delta instead)
+    new_links = assign_seq_within_parents(
+        unseen, "parent_seq", "pos", base=n
+    ).persist(StorageLevel.MEMORY_ONLY)
     n_new = new_links.count()
     print(f"[bench] assign_seq: {time.monotonic() - t1:.1f}s", file=sys.stderr)
     t1 = time.monotonic()
@@ -208,6 +212,7 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     pending.unpersist()
     seen.unpersist()
     words.unpersist()
+    new_links.unpersist()
     probe_handle.unpersist()
     total = t_admit + t_update
     return {

@@ -136,7 +136,7 @@ def anti_join_via_bloom(
     key_col: str = "url_key",
     m_bits: int = 1 << 24,
     k: int = 3,
-    broadcast_limit: int = 2_000_000,
+    broadcast_limit: int = 8_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Rows of ``new_df`` whose key is NOT in ``seen_keys``.
 

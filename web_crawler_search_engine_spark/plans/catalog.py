@@ -939,6 +939,66 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# 18b. SimHash near-dup PAIRS via banded hamming join — the scale
+#      composition over the q_dedup_simhash fingerprints: candidates
+#      must share one of two 8-bit bands (pigeonhole: hamming ≤ 1
+#      guarantees a shared band; ≤3 is caught with high probability
+#      and verified exactly), so the join is equi on (band, value)
+#      with NO all-pairs blowup; the hamming test is xor + bit_count,
+#      all integer domain.
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_dedup_simhash(spark, sf_dir)
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _simhash_df(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.shiftright(F.col("simhash"), 8),  # band 0: high byte
+                F.col("simhash") % 256 + 256,  # band 1: low byte (offset)
+            )
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+    return pairs
+
+
+_SQL_SIMHASH_PAIRS = f"""
+WITH sh AS ({_SQL_SIMHASH}),
+bands AS (
+  SELECT doc_id, simhash, (simhash // 256) AS band FROM sh
+  UNION ALL
+  SELECT doc_id, simhash, (simhash % 256) + 256 AS band FROM sh)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # 19. n-gram Jaccard similarity (exact verify for LSH candidates)
 
 
@@ -1301,6 +1361,7 @@ QUERIES.update(
     {
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
         "q_ann_cosine_topk": q_ann_cosine_topk,
@@ -1315,6 +1376,7 @@ ORACLE_SQL.update(
     {
         "q_dedup_minhash_lsh": _SQL_MINHASH,
         "q_dedup_simhash": _SQL_SIMHASH,
+        "q_dedup_simhash_pairs": _SQL_SIMHASH_PAIRS,
         "q_ngram_jaccard": _SQL_JACCARD,
         "q_dedup_embedding_cosine": _SQL_EMB_COSINE,
         "q_ann_cosine_topk": _SQL_ANN_TOPK,
