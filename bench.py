@@ -107,8 +107,9 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     incremental seen-filter update, timed end-to-end.
 
     r2 engine: the seen filter is the JVM (word_id, word) Bloom table
-    (operators/seen.py) — probe = broadcast joins + bit arithmetic,
-    update = distributed bit_or groupBy. Zero Python stages in the
+    (operators/seen.py) — probe = one partition-aligned shuffle join
+    of skinny (key, word_id, bit) rows (no broadcast of the filter),
+    update = co-partitioned full-outer bit_or merge. Zero Python stages in the
     measured round (the r1 pandas probe / driver toPandas update were
     the measured anti-scaling culprits). The ledger filter is
     PRE-built (P8: maintained incrementally round over round, never
@@ -133,10 +134,16 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
         .select("url_key")
         .persist(StorageLevel.MEMORY_ONLY)
     )
+    phases: dict[str, float] = {}
+
+    def _phase(name: str, t_start: float) -> None:
+        phases[name] = round(time.monotonic() - t_start, 3)
+        print(f"[bench] {name}: {phases[name]:.1f}s", file=sys.stderr)
+
     t0 = time.monotonic()
     _run_to_completion(pending)
     _run_to_completion(seen)
-    print(f"[bench] gen+cache: {time.monotonic() - t0:.1f}s", file=sys.stderr)
+    _phase("gen_cache", t0)
 
     t0 = time.monotonic()
     m_bits = seen_ops.plan_m_bits(2 * n, 16)
@@ -144,10 +151,7 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
         StorageLevel.MEMORY_ONLY
     )
     _run_to_completion(words)
-    print(
-        f"[bench] ledger filter build (one-time): {time.monotonic() - t0:.1f}s",
-        file=sys.stderr,
-    )
+    _phase("ledger_filter_build_one_time", t0)
 
     t0 = time.monotonic()
     # politeness admission: quota 8/host/round, salted two-phase top-K
@@ -158,7 +162,7 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     ).drop("quota")
     n_admitted = admitted.count()
     t_admit = time.monotonic() - t0
-    print(f"[bench] admit: {t_admit:.1f}s", file=sys.stderr)
+    _phase("admit", t0)
 
     t0 = time.monotonic()
     # discovered links: ~20% of the frontier is fresh plus ~14% already
@@ -186,10 +190,7 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     unseen, probe_handle = seen_ops.anti_join_via_bloom(
         links, seen, words, "url_key", m_bits=m_bits
     )
-    print(
-        f"[bench] bloom probe+maybe-count: {time.monotonic() - t1:.1f}s",
-        file=sys.stderr,
-    )
+    _phase("bloom_probe_maybe_count", t1)
     t1 = time.monotonic()
     # persisted: consumed by the count here AND the filter update below
     # (the real engine reads the committed parquet delta instead)
@@ -197,16 +198,13 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
         unseen, "parent_seq", "pos", base=n
     ).persist(StorageLevel.MEMORY_ONLY)
     n_new = new_links.count()
-    print(f"[bench] assign_seq: {time.monotonic() - t1:.1f}s", file=sys.stderr)
+    _phase("assign_seq", t1)
     t1 = time.monotonic()
     delta_words = seen_ops.bloom_word_updates(
         new_links.select("url_key"), "url_key", m_bits
     )
     _run_to_completion(seen_ops.or_words(words, delta_words))
-    print(
-        f"[bench] incremental filter update: {time.monotonic() - t1:.1f}s",
-        file=sys.stderr,
-    )
+    _phase("incremental_filter_update", t1)
     t_update = time.monotonic() - t0
 
     pending.unpersist()
@@ -220,6 +218,7 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
         "hosts": hosts,
         "admitted": n_admitted,
         "new_links": n_new,
+        "phases": phases,
         "frontier_admit_sec": round(t_admit, 3),
         "frontier_update_sec": round(t_update, 3),
         "frontier_sched_sec": round(total, 3),

@@ -45,11 +45,11 @@ def main() -> None:
         b = b.master(args.master)
     spark = b.getOrCreate()
 
+    from web_crawler_search_engine_spark.plans.indexer import read_index
     from web_crawler_search_engine_spark.plans.search import search
     from web_crawler_search_engine_spark.sources.checkpoints import SnapshotStore
 
-    postings = spark.read.parquet(f"{args.index}/postings")
-    docs = spark.read.parquet(f"{args.index}/docs")
+    postings, docs, buckets = read_index(spark, args.index)
     pages = None
     if args.pages:
         pages = (
@@ -60,7 +60,9 @@ def main() -> None:
 
     queries = args.query or [q.strip() for q in sys.stdin if q.strip()]
     for q in queries:
-        rows = search(postings, docs, q, k=args.k, pages=pages).collect()
+        rows = search(
+            postings, docs, q, k=args.k, pages=pages, buckets=buckets
+        ).collect()
         print(
             json.dumps(
                 {

@@ -201,3 +201,40 @@ def test_shard_dedup_mode_matches_per_worker_semantics(spark, world, engine_inde
         and r["url"] in shard_urls
         for r in world.rows
     )
+
+
+def test_written_index_partition_pruned_search(
+    spark, engine_index, tmp_path_factory
+):
+    """P4 layout: write_index partitions postings by
+    pmod(xxhash64(token), buckets); a query's topk over the written
+    index (a) equals the in-memory result exactly and (b) plans a
+    PartitionFilters entry on token_bucket — the scan lists only the
+    query tokens' bucket directories (index_of_index seek analog)."""
+    import contextlib
+    import io
+
+    from web_crawler_search_engine_spark.plans.indexer import (
+        read_index,
+        write_index,
+    )
+
+    docs_df, postings_df, _ = engine_index
+    path = str(tmp_path_factory.mktemp("idx"))
+    write_index(docs_df, postings_df, path, buckets=8)
+    postings2, docs2, buckets = read_index(spark, path)
+    assert buckets == 8
+    for q in ["granite harbor", "lantern", "apple bridge circuit dawn"]:
+        toks = S.query_tokens(q)
+        want = [
+            (r["doc_id"], r["score"])
+            for r in S.topk(postings_df, toks, k=5).collect()
+        ]
+        pruned = S.topk(postings2, toks, k=5, buckets=buckets)
+        got = [(r["doc_id"], r["score"]) for r in pruned.collect()]
+        assert got == want, q
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pruned.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan and "token_bucket" in plan, plan

@@ -58,6 +58,53 @@ def test_incremental_update_equals_bulk_build(spark, frames):
     assert inc == bulk
 
 
+def test_shuffle_probe_matches_broadcast_probe(spark, frames):
+    """maybe_seen_keys (scale path: one partition-aligned join, no
+    broadcast of the filter) and with_maybe_seen (broadcast probe)
+    flag exactly the same key set."""
+    seen, batch = frames
+    m = S.plan_m_bits(40_000, 16)
+    words = S.bloom_word_updates(seen, "url_key", m).persist()
+    got = sorted(
+        r["url_key"]
+        for r in S.maybe_seen_keys(
+            batch.select("url_key"), words, "url_key", m
+        ).collect()
+    )
+    want = sorted(
+        r["url_key"]
+        for r in S.with_maybe_seen(batch, words, "url_key", m)
+        .filter(F.col("_maybe"))
+        .select("url_key")
+        .distinct()
+        .collect()
+    )
+    words.unpersist()
+    assert got == want
+
+
+def test_or_words_keeps_big_side_partitioning(spark, frames):
+    """The incremental filter merge must not reshuffle the standing
+    filter: or_words on a persisted groupBy output plans exactly one
+    Exchange (the delta side)."""
+    import re
+
+    seen, batch = frames
+    m = S.plan_m_bits(80_000, 16)
+    words = S.bloom_word_updates(seen, "url_key", m).persist()
+    words.count()
+    delta = S.bloom_word_updates(batch.select("url_key"), "url_key", m)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        S.or_words(words, delta).explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    words.unpersist()
+    # the join's big-side child is the cache directly (Sort over
+    # InMemoryTableScan) — any Exchange between them would mean the
+    # standing filter reshuffles every round
+    assert re.search(r":- Sort \(\d+\)\n\s*:\s*\+- InMemoryTableScan", tree), tree
+
+
 def test_probe_and_update_plans_have_no_python_stages(spark, frames):
     seen, batch = frames
     m = S.plan_m_bits(40_000, 16)

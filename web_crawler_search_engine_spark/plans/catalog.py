@@ -1222,6 +1222,78 @@ FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id
 
 
 # ---------------------------------------------------------------------------
+# 22b. IVF-style bucketed ANN search (LSH coarse quantizer + multiprobe)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 by cosine, IVF-shaped: the 8-bit LSH bucket is
+    the coarse quantizer cell; each query probes its own cell plus the
+    8 Hamming-1 neighbor cells (multiprobe) and brute-forces cosine
+    only inside those cells — the candidate set is O(probes · cell),
+    not O(corpus). The probe list is a 9-element explode of the
+    query's bucket, broadcast into an equi-join on bucket; at
+    production scale the corpus is written partitioned by bucket
+    (exactly like write_index's token_bucket layout) so the probe join
+    lists only 9/256 of the directories. Buckets are the integer-exact
+    _lsh_bucket_col — the result set is deterministic across engines
+    (same recall, same rows)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _lsh_bucket_col(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << h)) for h in range(8)],
+            )
+        ).alias("bucket"),
+    )
+    cos = _cosine(F.col("qv"), F.col("embedding"))
+    scored = (
+        F.broadcast(q)
+        .join(emb, ["bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+_SQL_ANN_IVF = f"""
+WITH bk AS ({_lsh_bucket_sql('embeddings')}),
+e AS (
+  SELECT emb.vec_id, emb.embedding, bk.bucket
+  FROM embeddings emb JOIN bk ON emb.vec_id = bk.vec_id),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv,
+         CASE WHEN p.p = 8 THEN e.bucket
+              ELSE xor(e.bucket, (1::BIGINT << p.p)) END AS bucket
+  FROM e, (SELECT unnest(range(0, 9)) AS p) p
+  WHERE e.vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv::DOUBLE[],
+                                      e.embedding::DOUBLE[]), 4) AS cos
+  FROM q JOIN e ON q.bucket = e.bucket AND q.query_id <> e.vec_id)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # 23. language identification (stopword-hit heuristic)
 
 
@@ -1366,6 +1438,7 @@ QUERIES.update(
         "q_dedup_embedding_cosine": q_dedup_embedding_cosine,
         "q_ann_cosine_topk": q_ann_cosine_topk,
         "q_ann_lsh_buckets": q_ann_lsh_buckets,
+        "q_ann_ivf_topk": q_ann_ivf_topk,
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
         "q_token_count": q_token_count,
@@ -1381,6 +1454,7 @@ ORACLE_SQL.update(
         "q_dedup_embedding_cosine": _SQL_EMB_COSINE,
         "q_ann_cosine_topk": _SQL_ANN_TOPK,
         "q_ann_lsh_buckets": _SQL_ANN_LSH,
+        "q_ann_ivf_topk": _SQL_ANN_IVF,
         "q_lang_id": _SQL_LANG_ID,
         "q_quality_score": _SQL_QUALITY,
         "q_token_count": _SQL_TOKEN_COUNT,

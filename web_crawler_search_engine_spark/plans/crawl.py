@@ -391,7 +391,7 @@ class CrawlJob:
         # pre-filter only skips definite-unseen keys; the exact
         # backstop remains authoritative (FP-safe). All JVM-side.
         seen_keys = self._log().select("url_key")
-        probe_handle: DataFrame | None = None
+        probe_handle = None  # DataFrame or seen_ops.ProbeHandle
         if cfg.use_bloom:
             self._ensure_filter()
             unseen, probe_handle = seen_ops.anti_join_via_bloom(

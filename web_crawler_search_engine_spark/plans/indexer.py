@@ -319,10 +319,45 @@ def build_index_incremental(
 
 
 def write_index(docs: DataFrame, postings: DataFrame, path: str, buckets: int = 32):
-    """Persist the index with token-bucketed layout: search-time token
-    lookups prune to one bucket file group (P4 replacement for the
-    reference's byte-offset seeks)."""
-    postings.repartition(buckets, "token").sortWithinPartitions("token").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/postings")
+    """Persist the index with token-bucketed DIRECTORY layout
+    (``token_bucket=N/`` hive partitions): a search for a handful of
+    query n-grams lists only those bucket directories — directory-level
+    partition pruning, the P4 replacement for the reference's
+    index_of_index byte seeks (indexer/__init__.py:120-141). Within a
+    bucket the rows are sorted by token, so parquet row-group min/max
+    stats prune further below directory granularity.
+
+    The bucket function is pmod(xxhash64(token), buckets) — computable
+    driver-side (functions/hashing.py xxh64_str) so the reader derives
+    the bucket set from the query alone, no lookup job. ``buckets``
+    is recorded next to the data; readers must use the stored value."""
+    import json as _json
+    import os as _os
+
+    (
+        postings.withColumn(
+            "token_bucket", F.pmod(F.xxhash64("token"), F.lit(buckets)).cast("int")
+        )
+        .repartition("token_bucket")
+        .sortWithinPartitions("token_bucket", "token")
+        .write.mode("overwrite")
+        .partitionBy("token_bucket")
+        .parquet(f"{path}/postings")
+    )
     docs.write.mode("overwrite").parquet(f"{path}/docs")
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path}/index_meta.json", "w") as fh:
+        _json.dump({"buckets": buckets}, fh)
+
+
+def read_index(spark, path: str):
+    """(postings, docs, buckets) for an index written by write_index."""
+    import json as _json
+
+    with open(f"{path}/index_meta.json") as fh:
+        buckets = int(_json.load(fh)["buckets"])
+    return (
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/docs"),
+        buckets,
+    )

@@ -50,14 +50,33 @@ def fallback_tokens(query: str) -> list[str]:
     return [stem(t) for t in _base_tokens(query)]
 
 
+def token_buckets(tokens: list[str], buckets: int) -> list[int]:
+    """Driver-side pmod(xxhash64(token), buckets) — bit-equal to the
+    Column expression write_index partitioned by (hashing.xxh64_str
+    pins Spark's seed-42/UTF-8 semantics), so the bucket set derives
+    from the query string alone, with no lookup job."""
+    from ..functions.hashing import xxh64_str
+
+    return sorted({xxh64_str(t) % buckets for t in tokens})
+
+
 def topk(
-    postings: DataFrame, tokens: list[str], k: int = 5
+    postings: DataFrame, tokens: list[str], k: int = 5, buckets: int | None = None
 ) -> DataFrame:
     """J4 semi-filter + A9 aggregate + O4 top-k. Ties broken by
     doc_id asc (the reference's tie order is dict-insertion order —
-    not deterministic; this contract is, both here and in the oracle)."""
+    not deterministic; this contract is, both here and in the oracle).
+
+    With ``buckets`` (a write_index layout), the token filter is
+    preceded by a token_bucket.isin(...) partition filter: the scan
+    lists only the query tokens' bucket directories — the reference's
+    index_of_index seek (P4), as directory-level partition pruning."""
     if not tokens:
         return postings.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+    if buckets is not None:
+        postings = postings.filter(
+            F.col("token_bucket").isin(token_buckets(tokens, buckets))
+        )
     return (
         postings.filter(F.col("token").isin(tokens))
         .groupBy("doc_id")
@@ -96,17 +115,19 @@ def search(
     query: str,
     k: int = 5,
     pages: DataFrame | None = None,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Full query lifecycle incl. the empty-result stemmed-unigram
     fallback re-query (start_search_engine.py:38-43). With ``pages``
     (url, content) the result carries the C10 ``context`` snippet,
-    computed via a broadcast of the tiny top-k INTO the pages scan."""
+    computed via a broadcast of the tiny top-k INTO the pages scan.
+    ``buckets``: enable write_index partition pruning (see topk)."""
     tokens = query_tokens(query)
-    res = topk(postings, tokens, k).persist()
+    res = topk(postings, tokens, k, buckets=buckets).persist()
     if not res.take(1):
         fb = fallback_tokens(query)
         res.unpersist()
-        res = topk(postings, fb, k).persist()
+        res = topk(postings, fb, k, buckets=buckets).persist()
         tokens = fb
     out = res.join(F.broadcast(docs), "doc_id").select(
         "doc_id", "url", "title", "score"
