@@ -159,6 +159,7 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
         pending.withColumn("quota", F.lit(8)),
         max_quota=8,
         salt_buckets=16,
+        key_col="url_key",
     ).drop("quota")
     n_admitted = admitted.count()
     t_admit = time.monotonic() - t0

@@ -40,6 +40,7 @@ def admit(
     host_col: str = "host",
     max_quota: int | None = None,
     salt_buckets: int = 16,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Admit the per-host top-``quota`` candidates by ``seq_col``.
 
@@ -48,13 +49,26 @@ def admit(
     ``max_quota`` bounds every per-host quota (K above); when None it
     is taken as a required upper bound via the max of quota_col —
     pass it explicitly in production plans.
+
+    With ``key_col`` (a unique row key, e.g. url_key), the ranking
+    runs over a SKINNY (key, host, seq, quota) projection and the
+    admitted keys — bounded by hosts × quota, orders of magnitude
+    smaller than the frontier — broadcast-semi-join back onto the
+    full rows: the two windowed shuffles move ~30-byte rows instead
+    of full frontier rows (URL strings etc.), and the join-back is
+    map-side. Results identical to ranking the full rows (seq is a
+    total order).
     """
     if max_quota is None:
         max_quota = candidates.agg(F.max(quota_col)).collect()[0][0] or 0
     if max_quota <= 0:
         return candidates.limit(0)
 
-    salted = candidates.withColumn(
+    ranked_src = candidates
+    if key_col is not None:
+        ranked_src = candidates.select(key_col, host_col, seq_col, quota_col)
+
+    salted = ranked_src.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt_buckets))
     )
     w_local = Window.partitionBy(host_col, "_salt").orderBy(seq_col)
@@ -64,10 +78,15 @@ def admit(
         .drop("_lrank", "_salt")
     )
     w_exact = Window.partitionBy(host_col).orderBy(seq_col)
-    return (
+    admitted = (
         survivors.withColumn("_rank", F.row_number().over(w_exact))
         .filter(F.col("_rank") <= F.col(quota_col))
         .drop("_rank")
+    )
+    if key_col is None:
+        return admitted
+    return candidates.join(
+        F.broadcast(admitted.select(key_col)), key_col, "left_semi"
     )
 
 

@@ -101,7 +101,11 @@ def or_words(words: DataFrame, delta_words: DataFrame) -> DataFrame:
         .bitwiseOR(F.coalesce(F.col("_w2"), F.lit(0).cast("long")))
         .alias("word")
     )
-    return w.join(d, "word_id", "full_outer").select("word_id", merged_word)
+    # shuffle-hash with the delta as build side: no sort of the
+    # standing filter (full-outer SHJ keeps streaming the big side)
+    return w.join(d.hint("shuffle_hash"), "word_id", "full_outer").select(
+        "word_id", merged_word
+    )
 
 
 def with_maybe_seen(
@@ -169,8 +173,11 @@ def maybe_seen_keys(
         "cast(_pos % 64 AS int) AS _bit",
     )
     hit = F.expr("(shiftrightunsigned(coalesce(word, 0L), _bit) & 1)")
+    # shuffle-hash, not sort-merge: word rows are 16-byte fixed-width,
+    # so the per-partition hash build is small and we skip sorting
+    # O(k·batch + filter) rows every round
     return (
-        probes.join(words, "word_id", "left")
+        probes.join(words.hint("shuffle_hash"), "word_id", "left")
         .select(F.col(key_col), hit.cast("int").alias("_hit"))
         .groupBy(key_col)
         .agg(F.min("_hit").alias("_allhit"))
@@ -229,10 +236,16 @@ def anti_join_via_bloom(
     if n_maybe > broadcast_limit:
         unseen = batch.join(seen_keys.select(key_col), key_col, "left_anti")
     else:
+        # persisted: the ledger semi scan runs ONCE — downstream
+        # actions over `unseen` (seq-assign passes, round commit)
+        # re-broadcast the tiny matched set from cache instead of
+        # re-scanning the ledger per action
         matched = (
             seen_keys.select(key_col)
             .join(F.broadcast(maybe), key_col, "left_semi")
             .distinct()
+            .persist()
         )
+        handle._dfs.append(matched)
         unseen = batch.join(F.broadcast(matched), key_col, "left_anti")
     return unseen, handle

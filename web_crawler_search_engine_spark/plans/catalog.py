@@ -1429,6 +1429,46 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# 26. multimodal payload: image decode + phash recompute + first-seen dedup
+
+
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal column path as a driver-visible catalog query
+    (X3/U7, north_rule image invariants): a deterministic synthetic
+    image+caption corpus (sources/corpus.py — seeded; the e2e suite
+    verifies it bit-for-bit against codec ground truth) flows through
+    the Arrow-vectorized phash recompute UDF and first-seen phash
+    dedup (images/udfs.py). One row per image: recomputed phash,
+    whether it matches the stored column, and the dedup decision.
+
+    No SQL oracle — DCT perceptual hashing is not SQL-expressible; the
+    driver records the rows-only check, and the pixel-exact invariants
+    (decode allclose, PSNR≥40, caption equality) are pinned in
+    tests/unit/test_images.py and tests/e2e/test_image_path.py."""
+    from ..images.udfs import phash_dedup, phash_of
+    from ..sources.corpus import corpus_df, generate_world
+
+    world = generate_world(n=120, hosts=4, seed=17, with_images=True)
+    corpus = corpus_df(spark, world).filter(F.col("bytes").isNotNull())
+    scored = corpus.select(
+        "image_id",
+        "url",
+        F.col("phash").alias("phash_stored"),
+        phash_of(F.col("bytes"), F.col("fmt")).alias("phash"),
+    )
+    keep, dups = phash_dedup(scored, phash_col="phash", order_col="url")
+    flagged = keep.withColumn("kept", F.lit(True)).unionByName(
+        dups.withColumn("kept", F.lit(False))
+    )
+    return flagged.select(
+        "image_id",
+        "phash",
+        (F.col("phash") == F.col("phash_stored")).alias("phash_ok"),
+        "kept",
+    )
+
+
 QUERIES.update(
     {
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1442,6 +1482,7 @@ QUERIES.update(
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
         "q_token_count": q_token_count,
+        "q_image_phash_dedup": q_image_phash_dedup,
     }
 )
 

@@ -329,6 +329,7 @@ class CrawlJob:
                 with_quota.drop("crawl_delay", "fetch_round"),
                 max_quota=max_quota,
                 salt_buckets=cfg.salt_buckets,
+                key_col="url_key",
             )
             .drop("quota")
             .persist()
