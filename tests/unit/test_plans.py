@@ -58,3 +58,36 @@ def test_top5_orders_broadcasts_dimensions(spark):
 def test_lang_id_broadcasts_stopword_dim(spark):
     p = _plan(catalog.q_lang_id(spark, SF))
     assert "BroadcastHashJoin" in p
+
+
+def test_skinny_admit_windows_never_shuffle_full_rows(spark):
+    """admit(key_col=...) ranks a skinny projection and semi-joins the
+    admitted keys back: the windowed exchanges must not carry the wide
+    payload columns, and the join-back is a broadcast LeftSemi."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_search_engine_spark.operators.scheduler import admit
+
+    cand = spark.range(0, 5000).select(
+        F.xxhash64("id").alias("url_key"),
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".example.com/p/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string")).alias("host"),
+        F.col("id").alias("discovery_seq"),
+        F.lit(4).alias("quota"),
+    )
+    out = admit(cand, max_quota=4, salt_buckets=4, key_col="url_key")
+    rows = out.collect()
+    want = {
+        r["url_key"]
+        for r in admit(cand, max_quota=4, salt_buckets=4).collect()
+    }
+    assert {r["url_key"] for r in rows} == want and len(rows) == len(want)
+    p = _plan(out)
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p
+    # every shuffle (windowed ranking) moves only skinny columns: the
+    # Exchange nodes' Input lists must not carry the url payload
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p):
+        assert "url#" not in m.group(1).replace("url_key#", "k#"), m.group(1)
