@@ -47,8 +47,10 @@ HEADLINERS = [
     "q_sessionize",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
+    "q_dedup_simhash_pairs",
     "q_ann_cosine_topk",
     "q_ann_lsh_buckets",
+    "q_ann_ivf_topk",
     "q_quality_score",
 ]
 
