@@ -1430,44 +1430,6 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# 25b. C10 context snippet (search-result snippet extraction)
-
-
-def q_search_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C10 (shared/webpage.py:55-65, start_search_engine.py:140-142) as
-    a hash-checked catalog query: normalize the text to alnum words,
-    then for each query word IN ORDER take the 300 chars from its
-    first (lowercased) occurrence — the reference loop overwrites, so
-    the LAST matching word wins. Runs the engine's actual snippet_col
-    Column expression (plans/search.py) over the documents table;
-    pure locate/substring codegen, no UDF, no shuffle."""
-    from .search import snippet_col
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        snippet_col(F.col("text"), ["merge vector", "hash"]).alias("context"),
-    )
-
-
-_SQL_SNIPPET = """
-WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')) AS t
-  FROM documents)
-SELECT doc_id,
-       CASE
-         WHEN strpos(lower(t), 'hash') > 0
-           THEN substr(t, strpos(lower(t), 'hash'), 300)
-         WHEN strpos(lower(t), 'vector') > 0
-           THEN substr(t, strpos(lower(t), 'vector'), 300)
-         WHEN strpos(lower(t), 'merge') > 0
-           THEN substr(t, strpos(lower(t), 'merge'), 300)
-         ELSE '' END AS context
-FROM norm
-"""
-
-
-# ---------------------------------------------------------------------------
 # 26. multimodal payload: image decode + phash recompute + first-seen dedup
 
 
@@ -1520,7 +1482,6 @@ QUERIES.update(
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
         "q_token_count": q_token_count,
-        "q_search_snippet": q_search_snippet,
         "q_image_phash_dedup": q_image_phash_dedup,
     }
 )
@@ -1538,6 +1499,5 @@ ORACLE_SQL.update(
         "q_lang_id": _SQL_LANG_ID,
         "q_quality_score": _SQL_QUALITY,
         "q_token_count": _SQL_TOKEN_COUNT,
-        "q_search_snippet": _SQL_SNIPPET,
     }
 )
