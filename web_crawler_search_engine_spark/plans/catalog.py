@@ -1430,6 +1430,54 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# 25b. robots.txt gate (F13/U4 — exact urllib.robotparser semantics)
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """can_fetch + crawl_delay through the engine's actual U4 pandas
+    UDFs (functions/html.py, frontier.py:111-119 semantics) over
+    deterministically synthesized per-host robots policies: one host
+    disallows a path prefix, one sets Crawl-delay, one has no
+    robots.txt (permissive empty parser), the rest allow everything.
+    The oracle twin replicates robotparser's prefix-match outcome in
+    plain SQL — valid here because the synthetic paths are simple
+    ASCII (no percent-encoding edge cases; those are covered by the
+    parity crawl suite)."""
+    from ..functions.html import make_robots_allows, make_robots_delay
+    from ..sources.corpus import USER_AGENT
+
+    ev = _t(spark, sf_dir, "events")
+    host_id = F.pmod("user_id", F.lit(7))
+    url = F.concat(
+        F.lit("https://host"),
+        host_id.cast("string"),
+        F.lit(".example.com/path/"),
+        F.col("event_id").cast("string"),
+    )
+    rules = (
+        F.when(host_id == 1, F.lit("User-agent: *\nDisallow: /path/1"))
+        .when(host_id == 2, F.lit("User-agent: *\nCrawl-delay: 2\n"))
+        .when(host_id == 3, F.lit(None).cast("string"))
+        .otherwise(F.lit("User-agent: *\nDisallow:\n"))
+    )
+    allows = make_robots_allows(USER_AGENT)
+    delay = make_robots_delay(USER_AGENT)
+    return ev.select(
+        "event_id",
+        allows(rules, url).alias("allowed"),
+        delay(rules).alias("crawl_delay"),
+    )
+
+
+_SQL_ROBOTS_GATE = """
+SELECT event_id,
+       NOT (user_id % 7 = 1 AND event_id::VARCHAR LIKE '1%') AS allowed,
+       CASE WHEN user_id % 7 = 2 THEN 2.0 ELSE NULL END::DOUBLE AS crawl_delay
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # 26. multimodal payload: image decode + phash recompute + first-seen dedup
 
 
@@ -1482,6 +1530,7 @@ QUERIES.update(
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
         "q_token_count": q_token_count,
+        "q_robots_gate": q_robots_gate,
         "q_image_phash_dedup": q_image_phash_dedup,
     }
 )
@@ -1499,5 +1548,6 @@ ORACLE_SQL.update(
         "q_lang_id": _SQL_LANG_ID,
         "q_quality_score": _SQL_QUALITY,
         "q_token_count": _SQL_TOKEN_COUNT,
+        "q_robots_gate": _SQL_ROBOTS_GATE,
     }
 )
