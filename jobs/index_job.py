@@ -70,7 +70,9 @@ def main() -> None:
     if args.ledger and not args.fresh:
         store = SnapshotStore(spark, args.ledger)
         nxt = (store.latest_round() or 0) + 1
-        docs, postings, n = build_index_incremental(pages, store, round_id=nxt)
+        docs, postings, n = build_index_incremental(
+            pages, store, round_id=nxt, dedup_shards=args.dedup_shards
+        )
     else:
         if args.ledger and args.fresh:
             shutil.rmtree(args.ledger, ignore_errors=True)

@@ -147,8 +147,11 @@ class CrawlJob:
     @property
     def frontier(self) -> DataFrame:
         """Latest-wins view of the status log: one row per url_key.
-        Version = the ``round`` column; a denial re-stamps the
-        discovery round, so ties break pending-last."""
+        Version = the ``round`` column. A denial row keeps its
+        DISCOVERY round (crawl only changes status), so it can tie
+        with the pending row it supersedes — the secondary sort
+        (non-pending first) is what makes the denial win. Any new
+        same-round status must slot into that tie-break."""
         w = Window.partitionBy("url_key").orderBy(
             F.desc("round"),
             F.asc(F.when(F.col("status") == "pending", 1).otherwise(0)),
@@ -226,6 +229,7 @@ class CrawlJob:
         self._n_seen = self._base
         self._seen_words = None
         self._m_bits = None
+        self._filter_log_dirty = False
 
     def resume(self) -> int:
         """Restart from the latest published snapshot (S3 —
@@ -238,38 +242,59 @@ class CrawlJob:
         self.pending = self.store.load("pending")
         self.robots = self.store.load("robots")
         self._seen_words = None
+        self._filter_log_dirty = False
         meta = (self.store.manifest() or {}).get("meta", {}).get("seen_bloom", {})
         self._m_bits = meta.get("m_bits")
         self._n_seen = meta.get("n_keys", 0)
         return r
 
     # -- Bloom filter lifecycle ----------------------------------------
+    def _want_m(self) -> int:
+        cfg = self.config
+        return seen_ops.plan_m_bits(
+            max(self._n_seen * 4, cfg.bloom_min_capacity), cfg.bloom_bits_per_key
+        )
+
     def _ensure_filter(self) -> None:
-        """Build (or rebuild after resume / capacity growth) the seen
-        filter from the committed log — one distributed job, then
-        incrementally maintained."""
+        """Build the seen filter — on resume, straight from the
+        committed ``seen_bloom`` word log (O(filter) read, no rescan
+        of the URL ledger) when its recorded layout matches; otherwise
+        one distributed rebuild from the URL log. The log is kept
+        SINGLE-LAYOUT by the round commit (capacity growth replaces it
+        via log_compact), so merging its deltas is always valid."""
         cfg = self.config
         if self._n_seen == 0:
             self._n_seen = self._log().select("url_key").distinct().count()
-        want_m = seen_ops.plan_m_bits(
-            max(self._n_seen * 4, cfg.bloom_min_capacity), cfg.bloom_bits_per_key
-        )
+        want_m = self._want_m()
         if self._seen_words is not None and self._m_bits == want_m:
             return
+        meta = (self.store.manifest() or {}).get("meta", {}).get("seen_bloom", {})
+        if self._seen_words is None and meta.get("m_bits") == want_m:
+            try:
+                log = self.store.load_log("seen_bloom")
+            except FileNotFoundError:
+                log = None
+            if log is not None:
+                self._m_bits = want_m
+                self._seen_words = (
+                    log.groupBy("word_id")
+                    .agg(F.bit_or("word").alias("word"))
+                    .localCheckpoint(eager=False)
+                )
+                self._filter_log_dirty = False
+                return
         self._m_bits = want_m
         self._seen_words = seen_ops.bloom_word_updates(
             self._log().select("url_key"), "url_key", want_m, cfg.bloom_k
         ).localCheckpoint(eager=False)
+        # any existing log may be stale or an older layout: the next
+        # round commit replaces it wholesale (log_compact)
+        self._filter_log_dirty = True
 
-    def _grow_filter_if_needed(self) -> None:
-        cfg = self.config
-        capacity = (self._m_bits or 0) // cfg.bloom_bits_per_key
-        if self._n_seen > capacity:
-            # FP rate would degrade past design point: rebuild at 4x
-            # headroom from the ledger (distributed; correctness never
-            # depended on it — the exact backstop is authoritative)
-            self._seen_words = None
-            self._ensure_filter()
+    # Capacity growth is handled by _ensure_filter itself: want_m is
+    # recomputed from the updated n_seen every round, and a changed
+    # want_m triggers the distributed rebuild (correctness never
+    # depends on it — the exact backstop is authoritative).
 
     # ------------------------------------------------------------------
     def run_round(self) -> dict:
@@ -304,7 +329,12 @@ class CrawlJob:
             F.broadcast(robots.select("host", "rules")), "host", "left"
         ).withColumn("allowed", self._allows(F.col("rules"), F.col("url")))
         evaluated = evaluated.drop("rules")
-        pending_eval = known.unionByName(evaluated.select(*_FRONTIER_COLS))
+        # persisted: the round commit reads this lineage from three
+        # actions (pending rewrite, metrics, frontier_log delta) — the
+        # can_fetch pandas UDF must run ONCE per round, not per action
+        pending_eval = known.unionByName(
+            evaluated.select(*_FRONTIER_COLS)
+        ).persist()
 
         denied = pending_eval.filter(~F.col("allowed")).withColumn(
             "status", F.lit("robots_denied")
@@ -467,8 +497,33 @@ class CrawlJob:
                 .agg(*aggs)
             )
 
+        # one metrics row per (source, task partition) — UNION, not a
+        # join on partition_id: partition 0 of `fetched` and partition
+        # 0 of `denied` are physically unrelated tasks, and merging
+        # them into one row would attribute denials/discoveries to the
+        # wrong fetch partitions (per-partition lineage, north_rule)
+        _z = F.lit(0).cast("long")
+        _metric_cols = [
+            "admitted",
+            "fetched",
+            "robots_denied",
+            "new_urls",
+            "bytes_fetched",
+        ]
+
+        def _rows(df: DataFrame, aggs: list) -> DataFrame:
+            got = _pp(df, aggs)
+            have = set(got.columns)
+            return got.select(
+                "partition_id",
+                *[
+                    (F.col(c).cast("long") if c in have else _z).alias(c)
+                    for c in _metric_cols
+                ],
+            )
+
         metrics = (
-            _pp(
+            _rows(
                 fetched,
                 [
                     F.count("*").alias("admitted"),
@@ -478,30 +533,9 @@ class CrawlJob:
                     ),
                 ],
             )
-            .join(
-                _pp(denied, [F.count("*").alias("robots_denied")]),
-                "partition_id",
-                "full",
-            )
-            .join(
-                _pp(new_links, [F.count("*").alias("new_urls")]),
-                "partition_id",
-                "full",
-            )
-            .select(
-                F.lit(r).alias("round"),
-                "partition_id",
-                *[
-                    F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
-                    for c in (
-                        "admitted",
-                        "fetched",
-                        "robots_denied",
-                        "new_urls",
-                        "bytes_fetched",
-                    )
-                ],
-            )
+            .unionByName(_rows(denied, [F.count("*").alias("robots_denied")]))
+            .unionByName(_rows(new_links, [F.count("*").alias("new_urls")]))
+            .select(F.lit(r).alias("round"), "partition_id", *_metric_cols)
         )
 
         # 9. next pending working set (the ONLY per-round full-table
@@ -564,36 +598,59 @@ class CrawlJob:
 
         # incremental ledger-filter update: distributed word-delta
         # build over this round's committed discoveries, OR'd in via
-        # bit_or groupBy — no driver pass (r1's toPandas OR-in is
-        # gone). Word deltas append to the seen_bloom log for resume.
+        # the co-partitioned merge — no driver pass (r1's toPandas
+        # OR-in is gone). Word deltas append to the seen_bloom log;
+        # resume reloads the filter from that log (O(filter) read, no
+        # URL-ledger rescan). The log is SINGLE-LAYOUT by invariant:
+        # capacity growth (want_m changed) or a stale log (dirty flag
+        # after a from-ledger rebuild) REPLACES it wholesale via
+        # log_compact instead of appending a mixed-m_bits delta.
         if cfg.use_bloom and msum["new_urls"] > 0:
-            new_keys = (
-                self.store.load_log("frontier_log")
-                .filter((F.col("round") == r) & (F.col("status") == "pending"))
-                .select("url_key")
-            )
-            delta_words = seen_ops.bloom_word_updates(
-                new_keys, "url_key", self._m_bits, cfg.bloom_k
-            )
-            self.store.commit(
-                r,
-                log_appends={"seen_bloom": delta_words},
-                meta={
-                    "seen_bloom": {
-                        "m_bits": self._m_bits,
-                        "k": cfg.bloom_k,
-                        "n_keys": self._n_seen,
-                    }
-                },
-                carry_tables=True,
-            )
-            self._seen_words = seen_ops.or_words(
-                self._seen_words,
-                self.store.load_log_delta("seen_bloom", r),
-            ).localCheckpoint(eager=False)
-            self._grow_filter_if_needed()
+            want_m = self._want_m()
+            bloom_meta = {
+                "seen_bloom": {
+                    "m_bits": want_m,
+                    "k": cfg.bloom_k,
+                    "n_keys": self._n_seen,
+                }
+            }
+            if want_m != self._m_bits or self._filter_log_dirty:
+                # rebuild at the new layout from the full URL log
+                # (which already includes this round's discoveries)
+                self._m_bits = want_m
+                self._seen_words = seen_ops.bloom_word_updates(
+                    self._log().select("url_key"), "url_key", want_m, cfg.bloom_k
+                ).localCheckpoint(eager=False)
+                self.store.commit(
+                    r,
+                    log_compact={"seen_bloom": self._seen_words},
+                    meta=bloom_meta,
+                    carry_tables=True,
+                )
+                self._filter_log_dirty = False
+            else:
+                new_keys = (
+                    self.store.load_log("frontier_log")
+                    .filter(
+                        (F.col("round") == r) & (F.col("status") == "pending")
+                    )
+                    .select("url_key")
+                )
+                delta_words = seen_ops.bloom_word_updates(
+                    new_keys, "url_key", self._m_bits, cfg.bloom_k
+                )
+                self.store.commit(
+                    r,
+                    log_appends={"seen_bloom": delta_words},
+                    meta=bloom_meta,
+                    carry_tables=True,
+                )
+                self._seen_words = seen_ops.or_words(
+                    self._seen_words,
+                    self.store.load_log_delta("seen_bloom", r),
+                ).localCheckpoint(eager=False)
 
-        for h in (admitted, fetched, new_links, probe_handle):
+        for h in (admitted, fetched, new_links, probe_handle, pending_eval):
             if h is not None:
                 h.unpersist()
 

@@ -298,7 +298,10 @@ def build_index(
 
 
 def build_index_incremental(
-    pages: DataFrame, store, round_id: int = 0
+    pages: DataFrame,
+    store,
+    round_id: int = 0,
+    dedup_shards: int | None = None,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Resumable index build (S8 — indexer/__init__.py:56-63,103): the
     ``parsed_docs`` ledger in ``store`` (a SnapshotStore) anti-joins
@@ -315,7 +318,9 @@ def build_index_incremental(
         prev_urls, "url", "left_anti"
     )
     store.commit(round_id, log_appends={"parsed_docs": parse_pages(fresh)})
-    return finalize_index(store.load_log("parsed_docs"))
+    return finalize_index(
+        store.load_log("parsed_docs"), dedup_shards=dedup_shards
+    )
 
 
 def write_index(docs: DataFrame, postings: DataFrame, path: str, buckets: int = 32):

@@ -4,11 +4,13 @@ start_search_engine.py).
 
 Catalyst plan: scan-with-token-pushdown (isin on the bucketed token
 column replaces the reference's index_of_index byte seeks) ->
-partial/final agg -> TakeOrderedAndProject -> BroadcastHashJoin with
-the tiny docs table. Query prep (C2/C3/C12) is driver-side Python —
-queries are single strings, not data. The top-k is persisted so the
-empty-check and the metadata join share ONE execution (the r1 version
-ran the query twice — judge finding)."""
+partial/final agg -> TakeOrderedAndProject -> the collected ≤k rows
+broadcast INTO the docs/pages scans. Query prep (C2/C3/C12) is
+driver-side Python — queries are single strings, not data. The top-k
+is collected once (≤ k rows) so the empty-check, metadata join, and
+snippet pass share one scoring execution and nothing stays cached
+behind (the r1 version ran the query twice; r2.0 leaked one persisted
+DataFrame per query)."""
 
 from __future__ import annotations
 
@@ -122,14 +124,21 @@ def search(
     (url, content) the result carries the C10 ``context`` snippet,
     computed via a broadcast of the tiny top-k INTO the pages scan.
     ``buckets``: enable write_index partition pruning (see topk)."""
+    spark = postings.sparkSession
     tokens = query_tokens(query)
-    res = topk(postings, tokens, k, buckets=buckets).persist()
-    if not res.take(1):
+    # the top-k is ≤ k rows: collect it once and continue from a local
+    # DataFrame — one job for scoring, nothing left cached behind (the
+    # r2.0 persist leaked one cached DataFrame per query in a REPL)
+    first = topk(postings, tokens, k, buckets=buckets)
+    rows = first.collect()
+    if not rows:
         fb = fallback_tokens(query)
-        res.unpersist()
-        res = topk(postings, fb, k, buckets=buckets).persist()
+        rows = topk(postings, fb, k, buckets=buckets).collect()
         tokens = fb
-    out = res.join(F.broadcast(docs), "doc_id").select(
+    res = spark.createDataFrame(rows, schema=first.schema)
+    # broadcast the ≤k result INTO the docs scan (map-side, prunes to
+    # k rows regardless of docs-table size)
+    out = docs.join(F.broadcast(res), "doc_id").select(
         "doc_id", "url", "title", "score"
     )
     if pages is not None:

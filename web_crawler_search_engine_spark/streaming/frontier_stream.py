@@ -152,10 +152,15 @@ def start_ledger_ingest(
          pre-filter of operators/seen.py slots in unchanged),
       3. per-host top-``budget`` admission by discovery_seq (P7, the
          batch admit with skinny ranking),
-      4. append to the ``out_log`` snapshot log keyed by batch_id —
-         re-processing a failed batch overwrites the same log delta,
-         so the sink is idempotent across stream restarts (the
-         checkpoint + deterministic batch ids give exactly-once).
+      4. append to the ``out_log`` snapshot log keyed by batch_id.
+         foreachBatch is at-least-once, so replays are handled
+         explicitly: a batch whose delta is already in the committed
+         manifest is SKIPPED (re-running it against the updated
+         stream_seen log would compute an empty admitted set and
+         clobber the first attempt); a batch that crashed before its
+         atomic manifest commit leaves no manifest entry, so the
+         replay recomputes against exactly the pre-crash state and
+         overwrites the orphaned files. Net effect: exactly-once.
 
     ``store`` receives the stream's commits, keyed by batch_id —
     give the stream its OWN SnapshotStore directory (round ids are
@@ -168,6 +173,15 @@ def start_ledger_ingest(
     from pyspark.sql import Window
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        bid = int(batch_id)
+        committed = (store.manifest() or {}).get("logs", {})
+        if any(
+            p.endswith(f"{_os.sep}d{bid}")
+            for p in committed.get(out_log, {}).get("deltas", [])
+        ):
+            return  # at-least-once replay of an already-committed batch
         w_first = Window.partitionBy("url_key").orderBy("discovery_seq")
         batch_unique = (
             batch_df.withColumn("_rn", F.row_number().over(w_first))
