@@ -1430,6 +1430,88 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# 22c. dedup cluster resolution (connected components over near-dup pairs)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn near-dup PAIRS into a dedup DECISION: connected components
+    over the embedding-cosine pair graph, cluster id = min vec_id in
+    the component, keep = (vec_id == cluster). This is the step a
+    training-data pipeline actually acts on — pairs alone don't say
+    which copy survives when dupes chain (a~b, b~c ⇒ one survivor for
+    {a,b,c}).
+
+    Spark shape: iterative min-label propagation — per round one join
+    (labels into edges) + one groupBy(min), localCheckpoint to cut
+    lineage, stop when no label changed. Iterations = component
+    diameter (tiny for dup clusters); at web scale swap the step for
+    the alternating large-star/small-star contraction, same operator
+    surface. The DuckDB twin is a recursive CTE computing the same
+    min-reachable-id fixpoint."""
+    pairs = q_dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    verts = _emb_with_dupes(spark, sf_dir).select("vec_id")
+    edges = (
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = verts.select("vec_id", F.col("vec_id").alias("cluster"))
+    labels = labels.localCheckpoint()
+    for _ in range(20):  # >= any dup-chain diameter here; CC converges
+        prop = edges.join(
+            labels, edges["src"] == labels["vec_id"], "inner"
+        ).select(F.col("dst").alias("vec_id"), "cluster")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("vec_id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vec_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "vec_id", "cluster", (F.col("vec_id") == F.col("cluster")).alias("keep")
+    )
+
+
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+dd AS ({_EMB_DUPES_SQL}),
+bk AS ({_lsh_bucket_sql('dd', 4)}),
+e AS (
+  SELECT d.vec_id, d.embedding, bk.bucket
+  FROM dd d JOIN bk ON d.vec_id = bk.vec_id),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 4) >= 0.45),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM pairs),
+walk(vec_id, lbl) AS (
+  SELECT vec_id, vec_id FROM dd
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.vec_id)
+SELECT vec_id, min(lbl) AS cluster, (vec_id = min(lbl)) AS keep
+FROM walk GROUP BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # 25b. robots.txt gate (F13/U4 — exact urllib.robotparser semantics)
 
 
@@ -1530,6 +1612,7 @@ QUERIES.update(
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
         "q_token_count": q_token_count,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_robots_gate": q_robots_gate,
         "q_image_phash_dedup": q_image_phash_dedup,
     }
@@ -1549,5 +1632,6 @@ ORACLE_SQL.update(
         "q_quality_score": _SQL_QUALITY,
         "q_token_count": _SQL_TOKEN_COUNT,
         "q_robots_gate": _SQL_ROBOTS_GATE,
+        "q_dedup_clusters": _SQL_DEDUP_CLUSTERS,
     }
 )
