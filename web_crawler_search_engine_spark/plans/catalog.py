@@ -1512,6 +1512,128 @@ FROM walk GROUP BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# 22d. corpus selection funnel (the end-to-end training-data curation query)
+
+
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training curation funnel as ONE declarative query:
+    language gate (stopword argmax == 'en') ∧ quality gate (composite
+    score ≥ 2.0) ∧ length gate (n_tokens ≥ 10) ∧ near-dup drop (doc is
+    not the larger id of any banded-simhash near-dup pair — pairwise
+    first-wins; the transitive variant is q_dedup_clusters). One row
+    per doc with every stage's flag, so the decision is auditable.
+
+    Plan shape: one token explode feeds BOTH the language hits (via a
+    broadcast stopword dim) and the quality aggregate; the dup-drop
+    set (tiny) broadcasts into the final projection. Catalyst shares
+    the dd scan; nothing shuffles on more than doc_id."""
+    dd = _docs_with_dupes(spark, sf_dir)
+    toks = _tokens(dd)
+
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in _STOPWORDS.items() for w in ws],
+        ["lang_c", "word"],
+    )
+    hits = (
+        toks.join(F.broadcast(sw), toks.token == sw.word)
+        .groupBy("doc_id", "lang_c")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang_c"))
+    lang = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang_c").alias("pred_lang"))
+    )
+
+    digit = F.col("token").rlike("^[0-9]+$")
+    qual = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.when(digit, 1).otherwise(0)) / F.count(F.lit(1)), 3
+            ).alias("digit_ratio"),
+        )
+        .withColumn(
+            "quality",
+            F.round(
+                F.log(1 + F.col("n_tokens")) * (1 - F.col("digit_ratio")), 3
+            ),
+        )
+    )
+
+    drops = (
+        q_dedup_simhash_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("dup_drop", F.lit(True))
+    )
+
+    out = (
+        dd.select("doc_id")
+        .join(lang, "doc_id", "left")
+        .join(qual, "doc_id", "inner")
+        .join(F.broadcast(drops), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("pred_lang"), F.lit("und")).alias("pred_lang"),
+            "n_tokens",
+            "quality",
+            F.coalesce(F.col("dup_drop"), F.lit(False)).alias("dup_drop"),
+        )
+    )
+    keep = (
+        (F.col("pred_lang") == "en")
+        & (F.col("quality") >= 2.0)
+        & (F.col("n_tokens") >= 10)
+        & ~F.col("dup_drop")
+    )
+    return out.withColumn("keep", keep)
+
+
+_SQL_CORPUS_SELECT = f"""
+WITH dd AS ({_DOCS_DUPES_SQL}),
+toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM dd)
+  WHERE token <> ''),
+sw AS ({_SW_SQL_ROWS}),
+hits AS (
+  SELECT t.doc_id, s.lang_c, count(*) AS n_hits
+  FROM toks t JOIN sw s ON t.token = s.word
+  GROUP BY 1, 2),
+lang AS (
+  SELECT doc_id, lang_c AS pred_lang FROM (
+    SELECT doc_id, lang_c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n_hits DESC, lang_c ASC) AS rn
+    FROM hits) WHERE rn = 1),
+qual AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(sum(CASE WHEN regexp_matches(token, '^[0-9]+$')
+                        THEN 1 ELSE 0 END)::DOUBLE / count(*), 3) AS digit_ratio
+  FROM toks GROUP BY doc_id),
+pairs AS ({_SQL_SIMHASH_PAIRS}),
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+flags AS (
+  SELECT d.doc_id,
+         coalesce(l.pred_lang, 'und') AS pred_lang,
+         q.n_tokens,
+         round(ln(1 + q.n_tokens) * (1 - q.digit_ratio), 3) AS quality,
+         (dr.doc_id IS NOT NULL) AS dup_drop
+  FROM dd d
+  JOIN qual q ON d.doc_id = q.doc_id
+  LEFT JOIN lang l ON d.doc_id = l.doc_id
+  LEFT JOIN drops dr ON d.doc_id = dr.doc_id)
+SELECT doc_id, pred_lang, n_tokens, quality, dup_drop,
+       (pred_lang = 'en' AND quality >= 2.0 AND n_tokens >= 10
+        AND NOT dup_drop) AS keep
+FROM flags
+"""
+
+
+# ---------------------------------------------------------------------------
 # 25b. robots.txt gate (F13/U4 — exact urllib.robotparser semantics)
 
 
@@ -1613,6 +1735,7 @@ QUERIES.update(
         "q_quality_score": q_quality_score,
         "q_token_count": q_token_count,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_corpus_select": q_corpus_select,
         "q_robots_gate": q_robots_gate,
         "q_image_phash_dedup": q_image_phash_dedup,
     }
@@ -1633,5 +1756,6 @@ ORACLE_SQL.update(
         "q_token_count": _SQL_TOKEN_COUNT,
         "q_robots_gate": _SQL_ROBOTS_GATE,
         "q_dedup_clusters": _SQL_DEDUP_CLUSTERS,
+        "q_corpus_select": _SQL_CORPUS_SELECT,
     }
 )
