@@ -123,3 +123,40 @@ def test_probe_and_update_plans_have_no_python_stages(spark, frames):
         S.with_maybe_seen(batch, words, "url_key", m).explain("formatted")
     p = buf.getvalue()
     assert "BroadcastHashJoin" in p
+
+
+def test_bloom_anti_join_randomized_property(spark):
+    """Seeded randomized invariant sweep (batched — one combo per
+    Spark job, per repo property-test convention): for random seen
+    sets and batch mixes at several (bits_per_key, k) layouts —
+    including deliberately UNDERSIZED filters where nearly every probe
+    is a false positive — anti_join_via_bloom equals the plain exact
+    anti-join. The Bloom is an accelerator; correctness must never
+    depend on its sizing."""
+    import random
+
+    rng = random.Random(41)
+    for bits, k in ((16, 3), (8, 2), (2, 3)):  # (2,3): FP-saturated
+        n_seen = rng.randint(1, 3000)
+        seen_keys = list(
+            {rng.randint(-(2**62), 2**62) for _ in range(n_seen)}
+        )
+        overlap = rng.sample(seen_keys, rng.randint(0, len(seen_keys)))
+        fresh = [rng.randint(-(2**62), 2**62) for _ in range(rng.randint(1, 2000))]
+        batch_keys = list(dict.fromkeys(overlap + fresh))
+        rng.shuffle(batch_keys)
+        seen = spark.createDataFrame([(x,) for x in seen_keys], "url_key long")
+        batch = spark.createDataFrame(
+            [(x, i) for i, x in enumerate(batch_keys)], "url_key long, i long"
+        )
+        m = S.plan_m_bits(n_seen, bits)
+        words = S.bloom_word_updates(seen, "url_key", m, k=k).persist()
+        words.count()
+        unseen, handle = S.anti_join_via_bloom(
+            batch, seen, words, "url_key", m, k=k
+        )
+        got = sorted(r["url_key"] for r in unseen.collect())
+        want = sorted(set(batch_keys) - set(seen_keys))
+        handle.unpersist()
+        words.unpersist()
+        assert got == want, (bits, k, len(got), len(want))
