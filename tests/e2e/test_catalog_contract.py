@@ -23,6 +23,9 @@ SUBSET = [
     "q_dedup_minhash_lsh",
     "q_ann_cosine_topk",
     "q_quality_score",
+    "q_robots_gate",
+    "q_dedup_clusters",
+    "q_corpus_select",
 ]
 
 
