@@ -1,6 +1,35 @@
-"""Porter stemmer vs canonical examples from the published spec."""
+"""Porter stemmer vs canonical examples from the published spec, plus
+nltk's NLTK_EXTENSIONS deviations (the mode the reference uses via
+nltk.PorterStemmer — shared/tokenizer.py:51)."""
 
 from web_crawler_search_engine_spark.functions.stemming import stem
+
+# forms where NLTK_EXTENSIONS diverges from the 1980 spec; expected
+# values are nltk.stem.PorterStemmer().stem outputs
+NLTK_DIVERGENT_VECTORS = {
+    # irregular-form pool
+    "skies": "sky", "sky": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "news": "news", "innings": "inning",
+    "outings": "outing", "cannings": "canning", "howe": "howe",
+    "proceed": "proceed", "exceed": "exceed", "succeed": "succeed",
+    # step 1a: 4-letter -ies keeps the e (spec: 'ti')
+    "ties": "tie", "dies": "die", "pies": "pie",
+    # step 1b: -ied path (spec would run the ed machinery)
+    "died": "die", "spied": "spi", "tried": "tri", "replied": "repli",
+    # step 1c: consonant-before-y condition (spec: contains-vowel,
+    # which would give enjoi / sai / boi)
+    "enjoy": "enjoy", "say": "say", "boy": "boy", "cry": "cri",
+    "happy": "happi",
+}
+
+
+def test_nltk_extension_vectors():
+    bad = {
+        w: (stem(w), want)
+        for w, want in NLTK_DIVERGENT_VECTORS.items()
+        if stem(w) != want
+    }
+    assert not bad, bad
 
 SPEC_VECTORS = {
     # step 1a
