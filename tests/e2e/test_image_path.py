@@ -38,14 +38,16 @@ def test_decode_verify_invariants(cdf):
 
 def test_psnr_vs_original_pixels(world):
     """decoded-pixel allclose invariant vs the generator's ground
-    truth: exact for png, PSNR >= 40 dB for the lossy path."""
+    truth: exact for png; 40 <= PSNR < inf for the lossy path (the
+    finiteness half proves the codec genuinely loses information —
+    r2's idempotent stub could never fail the invariant)."""
     rng = np.random.RandomState(3)
     for _ in range(10):
         img = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
         png = codec.decode(codec.encode(img, "png"), "png")
         assert np.array_equal(img, png)
-        lossy = codec.decode(codec.encode(img, "jpeg"), "jpeg")
-        assert codec.psnr(img, lossy) >= 40.0
+        p = codec.psnr(img, codec.decode(codec.encode(img, "jpeg"), "jpeg"))
+        assert 40.0 <= p < float("inf"), p
 
 
 def test_caption_carry_through_exact(spark, cdf, world):

@@ -5,8 +5,9 @@ vectorized pandas/Arrow UDFs — binary column in, typed struct out,
 batch-shaped for a 1000-executor cluster: each Arrow batch decodes
 independently, so partitioning the pages table is the only scale
 knob. The codecs live in images/codec.py (real PNG; the lossy path is
-a clearly-marked deterministic stub until libjpeg/PIL is available —
-the Spark-side schema/partitioning/UDF plumbing is identical).
+a from-scratch 8x8 block-DCT transform codec with genuine,
+PSNR-bounded loss — swap for libjpeg/PIL when available, the
+Spark-side schema/partitioning/UDF plumbing is identical).
 """
 
 from __future__ import annotations
@@ -48,8 +49,10 @@ def _verify_one(blob, fmt, w, h, phash):
         return (False, False, False, None, None)
     dims_ok = img.shape == (h, w, 3)
     p2 = codec.phash64(img)
-    # codec self-consistency: re-encode -> decode; exact for png,
-    # idempotent (PSNR=inf) for the quantizing lossy stub
+    # codec self-consistency: re-encode -> decode; exact for png
+    # (PSNR=inf, min'd to 99), finite-but-high for the DCT lossy
+    # codec (quantization is near-idempotent on already-quantized
+    # pixels; only the uint8 rounding re-perturbs)
     img2 = codec.decode(codec.encode(img, fmt), fmt)
     ps = codec.psnr(img, img2)
     return (True, bool(dims_ok), bool(p2 == phash), p2, float(min(ps, 99.0)))
