@@ -156,6 +156,43 @@ def test_metrics_schema_and_totals(engine_run, round_oracle, world):
     assert tot["new_urls"] == len(statuses) - n_seed_urls
 
 
+def test_seen_bloom_published_atomically_with_frontier_log(engine_run):
+    """ADVICE r2 (crawl.py): the seen_bloom delta + meta must publish
+    in the SAME manifest as the round's frontier_log delta. The
+    invariant checked here is the one the old two-commit window could
+    break: resuming from ANY published snapshot must yield a Bloom
+    filter with ZERO false negatives against that snapshot's URL
+    ledger — a stale filter would bypass the exact backstop and
+    re-admit previously-seen URLs with fresh discovery_seq values."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_search_engine_spark.operators import seen as seen_ops
+
+    store = engine_run.store
+    checked = 0
+    for rnd in store.rounds():
+        m = store.manifest(rnd)
+        if "seen_bloom" not in m.get("logs", {}):
+            # only legal before the first discovery delta (seeding)
+            assert rnd == 0, rnd
+            continue
+        meta = m["meta"]["seen_bloom"]
+        words = (
+            store.load_log("seen_bloom", rnd)
+            .groupBy("word_id")
+            .agg(F.bit_or("word").alias("word"))
+        )
+        keys = store.load_log("frontier_log", rnd).select("url_key").distinct()
+        n_keys = keys.count()
+        n_maybe = seen_ops.maybe_seen_keys(
+            keys, words, "url_key", meta["m_bits"], meta["k"]
+        ).count()
+        assert n_maybe == n_keys, (rnd, n_maybe, n_keys)
+        assert meta["n_keys"] == n_keys, (rnd, meta)
+        checked += 1
+    assert checked > 3  # the crawl must actually exercise the invariant
+
+
 def test_export_stats_ordering(engine_run):
     """A10 (crawler/__init__.py:43-44): urls by length desc, tokens by
     count desc, deterministic tie-breaks."""

@@ -451,6 +451,7 @@ class CrawlJob:
                 "pos",
                 base=base,
                 max_driver_parents=cfg.seq_driver_parent_limit,
+                key_col="url_key",  # unique post-dedup: skinny rank
             )
             .select(
                 "url_key",
@@ -555,6 +556,57 @@ class CrawlJob:
             F.lit(r).alias("round"), "host", "url", "discovery_seq"
         )
 
+        # Bloom word delta for this round, computed from the persisted
+        # new_links BEFORE the commit so it publishes in the SAME
+        # manifest as the frontier_log delta (ADVICE r2: a second
+        # commit left a crash window in which a valid round-r manifest
+        # carried a seen_bloom log/meta missing round-r keys — Bloom
+        # false negatives then bypassed the exact backstop on resume).
+        # The log is SINGLE-LAYOUT by invariant: capacity growth
+        # (want_m changed) or a stale log (dirty flag after a
+        # from-ledger rebuild) REPLACES it wholesale via log_compact in
+        # that same atomic commit instead of appending a mixed-m_bits
+        # delta.
+        n_new = new_links.count()  # cached; also equals metrics new_urls
+        commit_appends = {
+            "frontier_log": log_delta,
+            "token_log": round_tokens,
+            "pages": pages,
+        }
+        commit_compacts: dict[str, DataFrame] = {}
+        bloom_meta = None
+        bloom_rebuilt = False
+        self._n_seen += n_new
+        if cfg.use_bloom and n_new > 0:
+            want_m = self._want_m()
+            bloom_meta = {
+                "seen_bloom": {
+                    "m_bits": want_m,
+                    "k": cfg.bloom_k,
+                    "n_keys": self._n_seen,
+                }
+            }
+            if want_m != self._m_bits or self._filter_log_dirty:
+                # rebuild at the new layout from the full URL ledger:
+                # the pre-commit log plus this round's discoveries
+                # (denied/fetched rows only change status of keys the
+                # log already holds)
+                self._m_bits = want_m
+                all_keys = self._log().select("url_key").unionByName(
+                    new_links.select("url_key")
+                )
+                commit_compacts["seen_bloom"] = seen_ops.bloom_word_updates(
+                    all_keys, "url_key", want_m, cfg.bloom_k
+                )
+                bloom_rebuilt = True
+            else:
+                commit_appends["seen_bloom"] = seen_ops.bloom_word_updates(
+                    new_links.select("url_key"),
+                    "url_key",
+                    self._m_bits,
+                    cfg.bloom_k,
+                )
+
         self.round = r
         self.store.commit(
             r,
@@ -564,11 +616,9 @@ class CrawlJob:
                 "admitted": admitted_log,
                 "metrics": metrics,
             },
-            log_appends={
-                "frontier_log": log_delta,
-                "token_log": round_tokens,
-                "pages": pages,
-            },
+            log_appends=commit_appends,
+            log_compact=commit_compacts or None,
+            meta=bloom_meta,
             options={
                 "frontier_log": KEY_BLOOM_OPTIONS,
                 "pending": KEY_BLOOM_OPTIONS,
@@ -594,57 +644,19 @@ class CrawlJob:
         msum = {k: int(v or 0) for k, v in msum.items()}
         n_pending = self.pending.count()
         self._base = base + msum["new_urls"]
-        self._n_seen += msum["new_urls"]
 
-        # incremental ledger-filter update: distributed word-delta
-        # build over this round's committed discoveries, OR'd in via
-        # the co-partitioned merge — no driver pass (r1's toPandas
-        # OR-in is gone). Word deltas append to the seen_bloom log;
-        # resume reloads the filter from that log (O(filter) read, no
-        # URL-ledger rescan). The log is SINGLE-LAYOUT by invariant:
-        # capacity growth (want_m changed) or a stale log (dirty flag
-        # after a from-ledger rebuild) REPLACES it wholesale via
-        # log_compact instead of appending a mixed-m_bits delta.
-        if cfg.use_bloom and msum["new_urls"] > 0:
-            want_m = self._want_m()
-            bloom_meta = {
-                "seen_bloom": {
-                    "m_bits": want_m,
-                    "k": cfg.bloom_k,
-                    "n_keys": self._n_seen,
-                }
-            }
-            if want_m != self._m_bits or self._filter_log_dirty:
-                # rebuild at the new layout from the full URL log
-                # (which already includes this round's discoveries)
-                self._m_bits = want_m
-                self._seen_words = seen_ops.bloom_word_updates(
-                    self._log().select("url_key"), "url_key", want_m, cfg.bloom_k
+        # refresh the in-memory filter from the COMMITTED log (the
+        # committed parquet, not the pre-commit lineage, so the
+        # localCheckpoint can materialize lazily after new_links is
+        # unpersisted below): rebuild => the compacted base IS the
+        # filter; append => co-partitioned bit_or merge of the delta.
+        if cfg.use_bloom and n_new > 0:
+            if bloom_rebuilt:
+                self._seen_words = self.store.load_log(
+                    "seen_bloom"
                 ).localCheckpoint(eager=False)
-                self.store.commit(
-                    r,
-                    log_compact={"seen_bloom": self._seen_words},
-                    meta=bloom_meta,
-                    carry_tables=True,
-                )
                 self._filter_log_dirty = False
             else:
-                new_keys = (
-                    self.store.load_log("frontier_log")
-                    .filter(
-                        (F.col("round") == r) & (F.col("status") == "pending")
-                    )
-                    .select("url_key")
-                )
-                delta_words = seen_ops.bloom_word_updates(
-                    new_keys, "url_key", self._m_bits, cfg.bloom_k
-                )
-                self.store.commit(
-                    r,
-                    log_appends={"seen_bloom": delta_words},
-                    meta=bloom_meta,
-                    carry_tables=True,
-                )
                 self._seen_words = seen_ops.or_words(
                     self._seen_words,
                     self.store.load_log_delta("seen_bloom", r),

@@ -142,12 +142,19 @@ def search(
         "doc_id", "url", "title", "score"
     )
     if pages is not None:
-        ctx = pages.select(
-            "url", snippet_col(F.col("content"), tokens).alias("context")
-        )
-        # top-k is ≤ k rows: broadcast it into the pages scan so only
-        # matching pages compute their snippet (map-side semi shape)
-        out = ctx.join(F.broadcast(out), "url").select(
-            "doc_id", "url", "title", "score", "context"
+        # top-k is ≤ k rows: broadcast-semi it into the pages scan so
+        # only matching pages compute their snippet (map-side), then
+        # LEFT-join the ≤ k snippets back — a result doc with no pages
+        # row keeps its hit with an empty context, matching the
+        # reference (r2 ADVICE: the inner join silently dropped it)
+        ctx = pages.join(
+            F.broadcast(out.select("url")), "url", "left_semi"
+        ).select("url", snippet_col(F.col("content"), tokens).alias("context"))
+        out = out.join(F.broadcast(ctx), "url", "left").select(
+            "doc_id",
+            "url",
+            "title",
+            "score",
+            F.coalesce(F.col("context"), F.lit("")).alias("context"),
         )
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
