@@ -26,6 +26,9 @@ SUBSET = [
     "q_robots_gate",
     "q_dedup_clusters",
     "q_corpus_select",
+    "q_image_dedup_decision",
+    "q_audio_features",
+    "q_video_frame_sample",
 ]
 
 

@@ -1873,3 +1873,98 @@ ORACLE_SQL.update(
         "q_image_dedup_decision": _image_decision_sql(),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# 33/34. Audio + video multimodal columns (media/) — the non-image
+# payloads of the multimodal-column contract: opaque binary in, typed
+# rows out, all decoding inside Arrow batches. Both queries use the
+# seeded deterministic corpus (media/corpus.py) and embed its ground
+# truth as literal VALUES in the oracle — the q_image_dedup_decision
+# pattern: the generator is seeded, so the Spark UDF path and the
+# DuckDB twin see identical truth, and the decode path is genuinely
+# exercised (WAV is lossless, so recomputed features MUST equal the
+# generator's; a decode bug breaks the hash match).
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-path invariants: decode the RIFF/WAVE PCM16 blob inside a
+    vectorized pandas UDF and recompute the feature set (sample count,
+    exact duration, RMS energy, zero-crossing count) from the decoded
+    samples. One row per clip."""
+    from ..media.corpus import audio_rows
+    from ..media.udfs import audio_feature_udf
+
+    rows = audio_rows()
+    df = spark.createDataFrame(
+        [(r["audio_id"], bytes(r["bytes"])) for r in rows],
+        "audio_id string, bytes binary",
+    )
+    return df.select(
+        "audio_id", audio_feature_udf(F.col("bytes")).alias("f")
+    ).select(
+        "audio_id",
+        F.col("f.n_samples").alias("n_samples"),
+        F.col("f.duration_ms").alias("duration_ms"),
+        F.col("f.rms").alias("rms"),
+        F.col("f.zero_crossings").alias("zero_crossings"),
+    )
+
+
+def _audio_sql() -> str:
+    from ..media.corpus import audio_rows
+
+    vals = ", ".join(
+        f"('{r['audio_id']}', {r['n_samples']}, {r['duration_ms']}, "
+        f"CAST({r['rms']} AS DOUBLE), {r['zero_crossings']})"
+        for r in audio_rows()
+    )
+    return f"""
+SELECT * FROM (VALUES {vals})
+  AS t(audio_id, n_samples, duration_ms, rms, zero_crossings)
+"""
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-path temporal sampling: parse the frame container and
+    emit every 3rd frame's index + exact integer mean luma, exploded
+    INSIDE the Arrow batch via mapInPandas (media/udfs.py). One row
+    per sampled frame."""
+    from ..media.corpus import video_rows
+    from ..media.udfs import sample_video_frames
+
+    rows = video_rows()
+    df = spark.createDataFrame(
+        [(r["video_id"], bytes(r["bytes"])) for r in rows],
+        "video_id string, bytes binary",
+    )
+    return sample_video_frames(df, every_k=3)
+
+
+def _video_sql() -> str:
+    from ..media.corpus import video_rows
+
+    vals = ", ".join(
+        f"('{r['video_id']}', {idx}, {luma})"
+        for r in video_rows()
+        for idx, luma in r["samples"]
+    )
+    return f"""
+SELECT * FROM (VALUES {vals})
+  AS t(video_id, frame_idx, mean_luma_milli)
+"""
+
+
+QUERIES.update(
+    {
+        "q_audio_features": q_audio_features,
+        "q_video_frame_sample": q_video_frame_sample,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q_audio_features": _audio_sql(),
+        "q_video_frame_sample": _video_sql(),
+    }
+)
