@@ -1968,3 +1968,83 @@ ORACLE_SQL.update(
         "q_video_frame_sample": _video_sql(),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# 35. Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+# public algorithm): per-position 3-gram hashes -> sliding window of
+# w=4 -> the fingerprint set is the DISTINCT window minima. Guarantees
+# any shared substring of length >= w+k-1 tokens yields a shared
+# fingerprint, with density ~2/(w+1) — the copy-detection primitive a
+# training-data pipeline runs beside MinHash (MOSS lineage). Hashes
+# carry their position in the low 20 bits, so minima are unique and
+# both engines pick identical fingerprints with no tie contract.
+# Entirely JVM/window-relational: one explode at k-gram volume, one
+# windowed min, one distinct — no UDF, no all-pairs anything.
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tri = F.expr(
+        "case when size(split(text,' ')) >= 3 then"
+        " transform(sequence(1, size(split(text,' ')) - 2),"
+        " i -> concat_ws(' ', element_at(split(text,' '), i),"
+        " element_at(split(text,' '), i + 1),"
+        " element_at(split(text,' '), i + 2)))"
+        " else cast(array() as array<string>) end"
+    )
+    kg = docs.select("doc_id", F.posexplode(tri).alias("p", "sh")).select(
+        "doc_id",
+        (F.col("p") + 1).alias("pos"),
+        (
+            F.conv(F.substring(F.md5(F.col("sh")), 1, 10), 16, 10).cast("long")
+            * 1048576
+            + F.col("p")
+            + 1
+        ).alias("hb"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    sel = (
+        kg.withColumn("n", F.count(F.lit(1)).over(w_doc))
+        .withColumn("sel", F.min("hb").over(w_win))
+        .filter(F.col("pos") <= F.greatest(F.col("n") - 3, F.lit(1)))
+        .select("doc_id", "sel")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        F.expr("sel div 1048576").alias("fp"),
+        (F.col("sel") % 1048576).alias("pos"),
+    )
+
+
+_SQL_WINNOW = """
+WITH kg0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(arr) - 1, 1)),
+                i -> {'pos': i,
+                      'sh': arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]})) AS u
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+),
+kg AS (
+  SELECT doc_id, u.pos AS pos,
+         ('0x' || substr(md5(u.sh), 1, 10))::BIGINT * 1048576 + u.pos AS hb
+  FROM kg0
+),
+sel AS (
+  SELECT DISTINCT doc_id, sel FROM (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY doc_id) AS n,
+           min(hb) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+    FROM kg)
+  WHERE pos <= greatest(n - 3, 1)
+)
+SELECT doc_id, sel // 1048576 AS fp, sel % 1048576 AS pos FROM sel
+"""
+
+QUERIES.update({"q_winnow_fingerprints": q_winnow_fingerprints})
+ORACLE_SQL.update({"q_winnow_fingerprints": _SQL_WINNOW})
