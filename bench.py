@@ -63,6 +63,7 @@ HEADLINERS = [
     "q_dedup_simhash",
     "q_dedup_simhash_pairs",
     "q_ngram_jaccard",
+    "q_winnow_fingerprints",
     "q_ann_cosine_topk",
     "q_ann_lsh_buckets",
     "q_ann_ivf_topk",

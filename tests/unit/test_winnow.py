@@ -55,3 +55,15 @@ def test_density_and_short_doc_edge(spark, tmp_path):
     assert 1 not in per_doc
     assert len(per_doc.get(2, [])) == 1
     assert 3 not in per_doc
+
+
+def test_winnow_plan_single_shuffle(spark, tmp_path):
+    """Plan-shape lock: both window passes (count + min) and the
+    distinct's partial aggregate must share ONE Exchange on doc_id —
+    a second shuffle at k-gram volume would be the scale bug."""
+    sf = _write_docs(spark, tmp_path, ["a b c d e f g h i j"])
+    df = q_winnow_fingerprints(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange ")
+    assert n_exchange <= 2, plan  # kgram->doc_id shuffle + final distinct
+    assert plan.count("Window") == 2
