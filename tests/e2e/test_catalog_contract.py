@@ -29,6 +29,9 @@ SUBSET = [
     "q_image_dedup_decision",
     "q_audio_features",
     "q_video_frame_sample",
+    "q_image_hamming_pairs",
+    "q_caption_carry",
+    "q_image_quality",
 ]
 
 

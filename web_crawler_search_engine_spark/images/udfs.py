@@ -162,3 +162,60 @@ def phash_dedup(df, phash_col: str = "phash", order_col: str = "discovery_seq"):
         ranked.filter((F.col("_rn") == 1) | F.col(phash_col).isNull()).drop("_rn"),
         ranked.filter((F.col("_rn") > 1) & F.col(phash_col).isNotNull()).drop("_rn"),
     )
+
+
+def phash_hamming_pairs(
+    df,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+):
+    """Banded Hamming near-duplicate join over the stored 64-bit
+    perceptual hash: the image-axis extension of the reference's
+    exact-phash dedup (X3, inverted_indexer semantics) to
+    near-duplicates — the decision a training-data image pipeline
+    actually needs (re-encoded / resized copies differ in a few phash
+    bits, not zero).
+
+    Scale shape (same design as the text-side SimHash pair join,
+    plans/catalog.py q_dedup_simhash_pairs): each hash is split into
+    four 16-bit bands, so by pigeonhole any pair with hamming <=
+    max_hamming (<= 3) shares at least one identical band. Candidates
+    come from one equi-join on the offset-disambiguated band value
+    (65,536 distinct values per band — no all-pairs blowup at corpus
+    scale), then the exact verify is xor + bit_count, all integer
+    domain, all JVM-side Column expressions (no UDF). Works for the
+    full signed int64 range: band extraction uses logical
+    (shiftrightunsigned) shifts.
+    """
+    bands = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(phash_col).alias("_ph"),
+        F.explode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(phash_col, 16 * b).bitwiseAND(
+                        F.lit(65535)
+                    )
+                    + F.lit(b * 65536)
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a._ph").bitwiseXOR(F.col("b._ph")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

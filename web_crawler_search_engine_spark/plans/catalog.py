@@ -2048,3 +2048,226 @@ SELECT doc_id, sel // 1048576 AS fp, sel % 1048576 AS pos FROM sel
 
 QUERIES.update({"q_winnow_fingerprints": q_winnow_fingerprints})
 ORACLE_SQL.update({"q_winnow_fingerprints": _SQL_WINNOW})
+
+
+# ---------------------------------------------------------------------------
+# 37-39. Image-axis curation queries (BASELINE.json graft cell: pyspark
+# x image). These extend the exact-phash dedup decision
+# (q_image_dedup_decision) with the three operations an image+caption
+# training-data pipeline needs at 100 TB: near-duplicate pairs over the
+# stored phash (banded Hamming join — no all-pairs), caption
+# carry-through onto the kept representative of each phash cluster
+# (north_star: 'caption carry-through'), and a metadata curation funnel
+# (pixel count / bytes-per-pixel / caption length / dup-drop — the
+# image analog of q_corpus_select). All inputs come from the seeded
+# deterministic corpus (sources/corpus.py), embedded as literal VALUES
+# in the oracle twins — the q_image_dedup_decision pattern.
+
+
+def _image_rows() -> list[dict]:
+    """(image_id, url, phash, caption, w, h, n_bytes) ground truth for
+    the image-axis oracles — one seeded generator call shared by the
+    Spark inputs and the VALUES twins."""
+    from ..sources.corpus import generate_world
+
+    world = generate_world(n=120, hosts=4, seed=17, with_images=True)
+    return [
+        {
+            "image_id": r["image_id"],
+            "url": r["url"],
+            "phash": r["phash"],
+            "caption": r["caption"],
+            "w": r["w"],
+            "h": r["h"],
+            "n_bytes": len(r["bytes"]),
+        }
+        for r in world.rows
+        if r["bytes"] is not None
+    ]
+
+
+def _image_neardup_rows() -> list[tuple[str, int]]:
+    """Base phashes plus deterministic bit-flipped variants: every 4th
+    image gets a copy whose phash differs in 1-3 bits (a re-encoded /
+    resized near-duplicate stand-in), so hamming<=3 pairs provably
+    exist. Pure arithmetic on the seeded ground truth — identical on
+    the Spark and DuckDB sides by construction."""
+    rows = [(r["image_id"], r["phash"]) for r in _image_rows()]
+    out = list(rows)
+    for i, (iid, ph) in enumerate(rows):
+        if i % 4:
+            continue
+        nbits = (i % 3) + 1
+        mask = 0
+        for j in range(nbits):
+            mask |= 1 << ((i * 7 + j * 13) % 64)
+        v = (ph % (1 << 64)) ^ mask
+        out.append((iid + "~v", v - (1 << 64) if v >= 1 << 63 else v))
+    return out
+
+
+def q_image_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs over the STORED 64-bit phash via the
+    engine's banded Hamming join (images/udfs.py phash_hamming_pairs):
+    4 x 16-bit bands -> equi-join candidates (pigeonhole guarantees
+    recall for hamming <= 3) -> xor + bit_count exact verify. The
+    image-axis analog of q_dedup_simhash_pairs, and the scale-correct
+    replacement for an all-pairs phash comparison."""
+    from ..images.udfs import phash_hamming_pairs
+
+    df = spark.createDataFrame(
+        _image_neardup_rows(), "image_id string, phash long"
+    )
+    return phash_hamming_pairs(df, "image_id", "phash", max_hamming=3)
+
+
+def _image_hamming_sql() -> str:
+    vals = ", ".join(
+        f"('{iid}', {ph})" for iid, ph in _image_neardup_rows()
+    )
+    # DuckDB >> is an arithmetic shift; map the signed hash into the
+    # unsigned domain with HUGEINT arithmetic so the four 16-bit bands
+    # match Spark's shiftrightunsigned extraction bit-for-bit.
+    bands = "\n  UNION ALL ".join(
+        "SELECT image_id, phash, "
+        f"((up // {1 << (16 * b)}) % 65536)::BIGINT + {b * 65536} AS band "
+        "FROM u"
+        for b in range(4)
+    )
+    return f"""
+WITH img(image_id, phash) AS (VALUES {vals}),
+u AS (SELECT image_id, phash,
+             ((phash::HUGEINT + 18446744073709551616)
+              % 18446744073709551616) AS up
+      FROM img),
+bands AS (
+  {bands})
+SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
+def q_caption_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption carry-through (north_star): when phash dedup collapses a
+    cluster of images to its first-seen representative, the captions of
+    the dropped copies are carried onto the keeper — one groupBy on the
+    dedup key, min_by for the keeper, ordered-distinct aggregation for
+    the carried captions. One shuffle at cluster-count cardinality;
+    at 100 TB this is the same partitioned agg as any keyed rollup."""
+    from ..sources.corpus import corpus_df, generate_world
+
+    world = generate_world(n=120, hosts=4, seed=17, with_images=True)
+    corpus = corpus_df(spark, world).filter(F.col("bytes").isNotNull())
+    return corpus.groupBy("phash").agg(
+        F.min_by("image_id", "url").alias("kept_image"),
+        F.count(F.lit(1)).alias("n_images"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.collect_list("caption"))), "|"
+        ).alias("captions"),
+    )
+
+
+def _caption_carry_sql() -> str:
+    vals = ", ".join(
+        "('{}', '{}', {}, '{}')".format(
+            r["image_id"],
+            r["url"],
+            r["phash"],
+            r["caption"].replace("'", "''"),
+        )
+        for r in _image_rows()
+    )
+    return f"""
+WITH img(image_id, url, phash, caption) AS (VALUES {vals})
+SELECT phash, min_by(image_id, url) AS kept_image,
+       count(*) AS n_images,
+       string_agg(DISTINCT caption, '|' ORDER BY caption) AS captions
+FROM img GROUP BY phash
+"""
+
+
+def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image+caption curation funnel — the image-axis analog of
+    q_corpus_select: per-pair metadata scores (pixel count, encoded
+    bytes-per-pixel, caption token count), the first-seen phash
+    dup-drop, and one conjunctive keep decision. Everything is a
+    single-pass Column expression over stored metadata plus one window
+    for the dup rank; the decode-dependent invariants stay in
+    q_image_phash_dedup / the e2e image suite."""
+    from pyspark.sql import Window
+
+    from ..sources.corpus import corpus_df, generate_world
+
+    world = generate_world(n=120, hosts=4, seed=17, with_images=True)
+    corpus = corpus_df(spark, world).filter(F.col("bytes").isNotNull())
+    n_pixels = (F.col("w") * F.col("h")).cast("long")
+    n_bytes = F.length("bytes").cast("long")
+    bpp = n_bytes / n_pixels
+    cap_toks = F.size(F.split("caption", " ")).cast("long")
+    dup_rank = F.row_number().over(
+        Window.partitionBy("phash").orderBy("url")
+    )
+    scored = corpus.select(
+        "image_id",
+        n_pixels.alias("n_pixels"),
+        n_bytes.alias("n_bytes"),
+        bpp.alias("bpp"),
+        cap_toks.alias("caption_tokens"),
+        (dup_rank > 1).alias("dup_drop"),
+    )
+    keep = (
+        (F.col("n_pixels") >= 64)
+        & (F.col("bpp") >= 0.05)
+        & (F.col("caption_tokens") >= 10)
+        & ~F.col("dup_drop")
+    )
+    return scored.withColumn("keep", keep)
+
+
+def _image_quality_sql() -> str:
+    vals = ", ".join(
+        "('{}', '{}', {}, '{}', {}, {}, {})".format(
+            r["image_id"],
+            r["url"],
+            r["phash"],
+            r["caption"].replace("'", "''"),
+            r["w"],
+            r["h"],
+            r["n_bytes"],
+        )
+        for r in _image_rows()
+    )
+    return f"""
+WITH img(image_id, url, phash, caption, w, h, n_bytes) AS (VALUES {vals}),
+scored AS (
+  SELECT image_id,
+         (w * h)::BIGINT AS n_pixels,
+         n_bytes::BIGINT AS n_bytes,
+         (n_bytes::DOUBLE / (w * h)) AS bpp,
+         len(string_split(caption, ' '))::BIGINT AS caption_tokens,
+         (row_number() OVER (PARTITION BY phash ORDER BY url) > 1)
+           AS dup_drop
+  FROM img)
+SELECT image_id, n_pixels, n_bytes, bpp, caption_tokens, dup_drop,
+       (n_pixels >= 64 AND bpp >= 0.05 AND caption_tokens >= 10
+        AND NOT dup_drop) AS keep
+FROM scored
+"""
+
+
+QUERIES.update(
+    {
+        "q_image_hamming_pairs": q_image_hamming_pairs,
+        "q_caption_carry": q_caption_carry,
+        "q_image_quality": q_image_quality,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "q_image_hamming_pairs": _image_hamming_sql(),
+        "q_caption_carry": _caption_carry_sql(),
+        "q_image_quality": _image_quality_sql(),
+    }
+)
