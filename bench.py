@@ -25,6 +25,10 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_FRONTIER (override frontier size),
      SPARK_GRAFT_BENCH_REPS / SPARK_GRAFT_QUERY_REPS (rep counts),
      SPARK_GRAFT_BENCH_QUERIES (comma list; default headliners),
+     SPARK_GRAFT_BENCH_MODE=image_rehearsal: image-axis throughput —
+       first-seen phash dedup + banded Hamming pairs + caption carry
+       over a synthesized dup-structured phash corpus
+       (SPARK_GRAFT_FRONTIER rows; default 2x lineitem),
      SPARK_GRAFT_BENCH_MODE=delta_rehearsal + SPARK_GRAFT_DELTA:
        O(delta) evidence mode — fixed-size link delta against a
        standing seen-state of SPARK_GRAFT_FRONTIER keys, probe /
@@ -357,6 +361,99 @@ def bench_delta_rehearsal(
     }
 
 
+def synth_image_corpus(spark: SparkSession, n: int):
+    """Image+caption corpus of n rows synthesized from key ranges
+    (never driver-materialized), with the dup structure the image
+    dedup operators exist for: every ~4 rows share one 'true' image,
+    the copies differing by 0-3 phash bits (re-encode / resize noise).
+    Band-join candidate volume is data-dependent; a dup-heavy crawl
+    corpus like this keeps it O(n·cluster) plus the random 16-bit band
+    collision floor — the workload-shaped case, same layout discipline
+    as synth_frontier (fixed 64 partitions, vary cores only)."""
+    n_base = max(n // 4, 1)
+    base = spark.range(0, n, 1, numPartitions=64).withColumnRenamed("id", "i")
+    return base.selectExpr(
+        "i AS image_id",
+        # copy 0 = original, copy 1 = byte-identical re-crawl (exact
+        # phash dup — feeds the first-seen dedup), copies 2/3 = 1- and
+        # 2-bit re-encode noise (feed the hamming pair join); every
+        # within-cluster pair is hamming <= 3
+        f"""xxhash64('true', i % {n_base}) ^ (
+              CASE WHEN i >= {2 * n_base}
+                   THEN shiftleft(1L, cast(((i % {n_base}) * 7) % 64 AS int))
+                   ELSE 0L END ^
+              CASE WHEN i >= {3 * n_base}
+                   THEN shiftleft(1L, cast(((i % {n_base}) * 7 + 13) % 64 AS int))
+                   ELSE 0L END) AS phash""",
+        f"concat('caption of image ', i % {n_base}, ' copy ', i div {n_base})"
+        " AS caption",
+    )
+
+
+def bench_image_rehearsal(spark: SparkSession, n: int, cpus: int) -> dict:
+    """Image-axis throughput (graft cell pyspark × image): the three
+    image curation operators over a synthesized n-row phash corpus —
+    first-seen phash dedup (window), banded Hamming near-dup pairs
+    (images/udfs.py phash_hamming_pairs — the real operator), and the
+    caption carry-through rollup. Run at two SPARK_GRAFT_CPUS levels
+    on the same input for the N-vs-4N scaling evidence."""
+    from pyspark.storagelevel import StorageLevel
+
+    from web_crawler_search_engine_spark.images.udfs import (
+        phash_dedup,
+        phash_hamming_pairs,
+    )
+
+    corpus = synth_image_corpus(spark, n).persist(StorageLevel.MEMORY_ONLY)
+    phases: dict[str, float] = {}
+
+    def _phase(name: str, t_start: float) -> None:
+        phases[name] = round(time.monotonic() - t_start, 3)
+        print(f"[bench] {name}: {phases[name]:.1f}s", file=sys.stderr)
+
+    t0 = time.monotonic()
+    _run_to_completion(corpus)
+    _phase("gen_cache_one_time", t0)
+
+    t0 = time.monotonic()
+    keep, dups = phash_dedup(corpus, "phash", order_col="image_id")
+    n_keep = keep.count()
+    _phase("phash_first_seen_dedup", t0)
+
+    t0 = time.monotonic()
+    n_pairs = phash_hamming_pairs(
+        corpus, "image_id", "phash", max_hamming=3
+    ).count()
+    _phase("hamming_band_pairs", t0)
+
+    t0 = time.monotonic()
+    _run_to_completion(
+        corpus.groupBy("phash").agg(
+            F.min_by("image_id", "image_id").alias("kept_image"),
+            F.count(F.lit(1)).alias("n_images"),
+            F.array_sort(F.array_distinct(F.collect_list("caption"))).alias(
+                "captions"
+            ),
+        )
+    )
+    _phase("caption_carry_rollup", t0)
+
+    total = (
+        phases["phash_first_seen_dedup"]
+        + phases["hamming_band_pairs"]
+        + phases["caption_carry_rollup"]
+    )
+    corpus.unpersist()
+    return {
+        "images": n,
+        "kept": n_keep,
+        "neardup_pairs": n_pairs,
+        "phases": phases,
+        "frontier_sched_sec": round(total, 3),  # keyed for _min_rep
+        "images_per_sec": round(n / total, 1),
+    }
+
+
 def _min_rep(reps: list[dict]) -> dict:
     return min(reps, key=lambda r: r["frontier_sched_sec"])
 
@@ -398,6 +495,31 @@ def main() -> None:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     default_n = int(li.count()) * 10
     n = int(os.environ.get("SPARK_GRAFT_FRONTIER", str(default_n)))
+
+    if mode == "image_rehearsal":
+        # image-axis corpus: 2x lineitem rows at this sf by default
+        n_img = int(
+            os.environ.get("SPARK_GRAFT_FRONTIER", str(default_n // 5))
+        )
+        reps = [
+            bench_image_rehearsal(spark, n_img, cpus) for _ in range(n_reps)
+        ]
+        best = _min_rep(reps)
+        out = {
+            "metric": "image_curate_sec",
+            "value": best["frontier_sched_sec"],
+            "unit": "sec",
+            "sf": None,
+            "cpus": cpus,
+            "reps_sec": [r["frontier_sched_sec"] for r in reps],
+            "phase_reps": {
+                p: [r["phases"].get(p) for r in reps]
+                for p in reps[0]["phases"]
+            },
+            **best,
+        }
+        print(json.dumps(out))
+        return
 
     if mode == "delta_rehearsal":
         delta = int(os.environ.get("SPARK_GRAFT_DELTA", "4800000"))
