@@ -32,6 +32,7 @@ SUBSET = [
     "q_image_hamming_pairs",
     "q_caption_carry",
     "q_image_quality",
+    "q_image_neardup_clusters",
 ]
 
 

@@ -1508,34 +1508,50 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-reachable-id fixpoint."""
     pairs = q_dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
     verts = _emb_with_dupes(spark, sf_dir).select("vec_id")
+    return _min_label_components(verts, pairs, "vec_id", "vec_a", "vec_b")
+
+
+def _min_label_components(
+    verts: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — per
+    round one join (labels into edges) + one groupBy(min),
+    localCheckpoint to cut lineage, stop at the changed==0 fixpoint.
+    The safety cap exists only to turn pathological non-convergence
+    into a loud error rather than silently returning non-converged
+    labels (r2 ADVICE); propagation converges in <= component-diameter
+    rounds. Returns (id_col, cluster, keep). Shared by the embedding
+    (q_dedup_clusters) and image (q_image_neardup_clusters) dedup
+    resolutions; at web scale swap the step for alternating
+    large-star/small-star contraction, same surface."""
     edges = (
-        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(
             pairs.select(
-                F.col("vec_b").alias("src"), F.col("vec_a").alias("dst")
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
             )
         )
         .persist()
     )
-    labels = verts.select("vec_id", F.col("vec_id").alias("cluster"))
+    labels = verts.select(id_col, F.col(id_col).alias("cluster"))
     labels = labels.localCheckpoint()
-    # loop to the changed==0 fixpoint — the safety cap exists only to
-    # turn a pathological non-convergence into a loud error rather
-    # than silently returning non-converged labels (r2 ADVICE); min-
-    # label propagation converges in <= component-diameter rounds.
     for _ in range(200):
         prop = edges.join(
-            labels, edges["src"] == labels["vec_id"], "inner"
-        ).select(F.col("dst").alias("vec_id"), "cluster")
+            labels, edges["src"] == labels[id_col], "inner"
+        ).select(F.col("dst").alias(id_col), "cluster")
         new_labels = (
             labels.unionByName(prop)
-            .groupBy("vec_id")
+            .groupBy(id_col)
             .agg(F.min("cluster").alias("cluster"))
             .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "vec_id")
+            .join(labels.alias("o"), id_col)
             .filter(F.col("n.cluster") != F.col("o.cluster"))
             .count()
         )
@@ -1545,12 +1561,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         edges.unpersist()
         raise RuntimeError(
-            "q_dedup_clusters: min-label propagation hit the 200-round "
+            "min-label propagation hit the 200-round "
             "safety cap without converging"
         )
     edges.unpersist()
     return labels.select(
-        "vec_id", "cluster", (F.col("vec_id") == F.col("cluster")).alias("keep")
+        id_col,
+        "cluster",
+        (F.col(id_col) == F.col("cluster")).alias("keep"),
     )
 
 
@@ -2271,3 +2289,56 @@ ORACLE_SQL.update(
         "q_image_quality": _image_quality_sql(),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# 40. Image near-dup cluster resolution — the full image-axis dedup
+# composition: banded Hamming candidates (q_image_hamming_pairs) ->
+# connected components -> one survivor per cluster. The image twin of
+# q_dedup_clusters, sharing its _min_label_components operator and its
+# recursive-CTE oracle pattern.
+
+
+def q_image_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup image pairs chained into a dedup DECISION: connected
+    components over the hamming<=3 pair graph, cluster id = min
+    image_id in the component, keep = (image_id == cluster). Pairs
+    alone don't say which copy survives when re-encodes chain
+    (a~b, b~c => one survivor for {a,b,c})."""
+    verts = spark.createDataFrame(
+        _image_neardup_rows(), "image_id string, phash long"
+    ).select("image_id")
+    from ..images.udfs import phash_hamming_pairs
+
+    pairs = phash_hamming_pairs(
+        spark.createDataFrame(
+            _image_neardup_rows(), "image_id string, phash long"
+        ),
+        "image_id",
+        "phash",
+        max_hamming=3,
+    ).select("id_a", "id_b")
+    return _min_label_components(verts, pairs, "image_id", "id_a", "id_b")
+
+
+def _image_clusters_sql() -> str:
+    vals = ", ".join(f"('{iid}')" for iid, _ in _image_neardup_rows())
+    return f"""
+WITH RECURSIVE
+pairs AS ({_image_hamming_sql()}),
+verts(image_id) AS (VALUES {vals}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+walk(image_id, lbl) AS (
+  SELECT image_id, image_id FROM verts
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.image_id)
+SELECT image_id, min(lbl) AS cluster, (image_id = min(lbl)) AS keep
+FROM walk GROUP BY image_id
+"""
+
+
+QUERIES.update({"q_image_neardup_clusters": q_image_neardup_clusters})
+ORACLE_SQL.update({"q_image_neardup_clusters": _image_clusters_sql()})
