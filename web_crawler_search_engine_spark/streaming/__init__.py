@@ -5,6 +5,7 @@ from .frontier_stream import (
     frontier_ingest_stream,
     frontier_link_stream,
 )
+from .image_stream import image_delta_stream, start_image_ingest
 from .rollup import hourly_rollup_stream, politeness_rate_limit_stream
 
 __all__ = [
@@ -13,6 +14,8 @@ __all__ = [
     "dedup_first_seen",
     "frontier_ingest_stream",
     "frontier_link_stream",
+    "image_delta_stream",
+    "start_image_ingest",
     "hourly_rollup_stream",
     "politeness_rate_limit_stream",
 ]
