@@ -565,6 +565,16 @@ def main() -> None:
         per_query[name] = round(best, 3)
     per_query["frontier_round"] = frontier["frontier_sched_sec"]
 
+    # image-axis throughput in the official record (graft cell
+    # pyspark × image): one fifth of the frontier size through the
+    # curation pipeline, min-of-2 in the same JVM
+    img_reps = [
+        bench_image_rehearsal(spark, max(n // 5, 10_000), cpus)
+        for _ in range(min(n_reps, 2))
+    ]
+    img_best = _min_rep(img_reps)
+    per_query["image_rehearsal"] = img_best["frontier_sched_sec"]
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "frontier_sched_sec",
@@ -579,6 +589,10 @@ def main() -> None:
         "phase_reps": {
             p: [r["phases"].get(p) for r in reps] for p in reps[0]["phases"]
         },
+        "image_curate_sec": img_best["frontier_sched_sec"],
+        "images": img_best["images"],
+        "images_per_sec": img_best["images_per_sec"],
+        "image_reps_sec": [r["frontier_sched_sec"] for r in img_reps],
         **frontier,
     }
     print(json.dumps(out))
