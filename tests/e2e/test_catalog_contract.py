@@ -33,6 +33,7 @@ SUBSET = [
     "q_caption_carry",
     "q_image_quality",
     "q_image_neardup_clusters",
+    "q_image_curate",
 ]
 
 

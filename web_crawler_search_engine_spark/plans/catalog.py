@@ -2139,9 +2139,9 @@ def q_image_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_hamming_pairs(df, "image_id", "phash", max_hamming=3)
 
 
-def _image_hamming_sql() -> str:
+def _image_hamming_sql(rows: list[tuple[str, int]] | None = None) -> str:
     vals = ", ".join(
-        f"('{iid}', {ph})" for iid, ph in _image_neardup_rows()
+        f"('{iid}', {ph})" for iid, ph in (rows or _image_neardup_rows())
     )
     # DuckDB >> is an arithmetic shift; map the signed hash into the
     # unsigned domain with HUGEINT arithmetic so the four 16-bit bands
@@ -2342,3 +2342,77 @@ FROM walk GROUP BY image_id
 
 QUERIES.update({"q_image_neardup_clusters": q_image_neardup_clusters})
 ORACLE_SQL.update({"q_image_neardup_clusters": _image_clusters_sql()})
+
+
+# ---------------------------------------------------------------------------
+# 41. The curate CLI's decision under the hash gate: keep = metadata
+# quality AND near-dup-cluster survivor — exactly jobs/curate_job.curate
+# over the seeded corpus, so the driver's oracle verifies the same
+# composition the spark-submit job ships.
+
+
+def q_image_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image+caption curation decision (jobs/curate_job.py):
+    quality thresholds over stored metadata, banded-Hamming connected
+    components for the near-dup survivor, one conjunctive keep."""
+    from jobs.curate_job import curate
+    from ..sources.corpus import corpus_df, generate_world
+
+    world = generate_world(n=120, hosts=4, seed=17, with_images=True)
+    corpus = corpus_df(spark, world).filter(F.col("bytes").isNotNull())
+    out = curate(
+        corpus,
+        min_pixels=64,
+        min_bpp=0.05,
+        min_caption_tokens=10,
+        max_hamming=3,
+    )
+    return out.select(
+        "image_id",
+        "quality_keep",
+        F.coalesce("survivor", F.lit(True)).alias("survivor"),
+        "keep",
+    )
+
+
+def _image_curate_sql() -> str:
+    rows = _image_rows()
+    pair_rows = [(r["image_id"], r["phash"]) for r in rows]
+    vals = ", ".join(
+        "('{}', '{}', {}, {}, {})".format(
+            r["image_id"],
+            r["caption"].replace("'", "''"),
+            r["w"],
+            r["h"],
+            r["n_bytes"],
+        )
+        for r in rows
+    )
+    return f"""
+WITH RECURSIVE
+pairs AS ({_image_hamming_sql(pair_rows)}),
+img(image_id, caption, w, h, n_bytes) AS (VALUES {vals}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+walk(image_id, lbl) AS (
+  SELECT image_id, image_id FROM img
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.image_id),
+surv AS (
+  SELECT image_id, (image_id = min(lbl)) AS survivor
+  FROM walk GROUP BY image_id),
+q AS (
+  SELECT image_id,
+         (w * h >= 64 AND (n_bytes::DOUBLE / (w * h)) >= 0.05
+          AND len(string_split(caption, ' ')) >= 10) AS quality_keep
+  FROM img)
+SELECT q.image_id, q.quality_keep, s.survivor,
+       (q.quality_keep AND s.survivor) AS keep
+FROM q JOIN surv s ON q.image_id = s.image_id
+"""
+
+
+QUERIES.update({"q_image_curate": q_image_curate})
+ORACLE_SQL.update({"q_image_curate": _image_curate_sql()})
