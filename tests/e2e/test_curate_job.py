@@ -70,3 +70,33 @@ def test_curate_job_cli(spark, tmp_path, monkeypatch, capsys):
     assert metrics["input"] == len(want)
     assert metrics["kept"] == len(kept)
     assert 0 < len(kept) < len(want)  # the funnel actually discriminates
+
+
+def test_curate_job_cli_input_parquet(spark, tmp_path, monkeypatch, capsys):
+    """The production path: --input reads an existing corpus parquet
+    and produces the same decision as --synth on the same rows."""
+    from pyspark.sql import functions as F
+
+    from jobs import curate_job
+    from web_crawler_search_engine_spark.sources.corpus import (
+        corpus_df,
+        generate_world,
+    )
+
+    world = generate_world(n=60, hosts=4, seed=17, with_images=True)
+    src = str(tmp_path / "corpus.parquet")
+    corpus_df(spark, world).filter(F.col("bytes").isNotNull()).write.parquet(
+        src
+    )
+    out = tmp_path / "curated2"
+    monkeypatch.setattr(
+        sys, "argv", ["curate_job.py", "--input", src, "--out", str(out)]
+    )
+    curate_job.main()
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = {
+        r["image_id"]
+        for r in spark.read.parquet(f"{out}/kept.parquet").collect()
+    }
+    want = _ground_truth()
+    assert kept == {i for i, k in want.items() if k}

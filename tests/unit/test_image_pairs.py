@@ -91,3 +91,45 @@ def test_caption_carry_keeps_first_seen_per_cluster(spark):
         assert got[ph]["n_images"] == len(members)
         caps = sorted({m["caption"] for m in members})
         assert got[ph]["captions"] == "|".join(caps)
+
+
+def _random_phashes(n=300, seed=11):
+    """Seeded adversarial phash generator (batched — one Spark job for
+    all examples, the repo's property-test pattern): uniform random
+    64-bit values plus planted structure — exact dups, 1-3-bit
+    perturbations, band-boundary values, sign-bit straddles."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        v = rng.getrandbits(64)
+        rows.append((f"r{i}", v - (1 << 64) if v >= 1 << 63 else v))
+    planted = []
+    for i in range(0, n, 7):
+        iid, ph = rows[i]
+        kind = (i // 7) % 4
+        if kind == 0:
+            v = ph  # exact dup
+        elif kind == 1:
+            v = ph ^ (1 << rng.randrange(64))  # 1 bit
+        elif kind == 2:
+            m = (1 << rng.randrange(64)) | (1 << rng.randrange(64))
+            v = ph ^ m  # 1-2 bits
+        else:
+            v = ph ^ 0x8000000000000001  # sign bit + bit 0
+        v %= 1 << 64
+        planted.append((f"{iid}p", v - (1 << 64) if v >= 1 << 63 else v))
+    return rows + planted
+
+
+def test_phash_hamming_pairs_property_batch(spark):
+    rows = _random_phashes()
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_hamming_pairs(df).collect()
+    }
+    want = _brute_force(rows)
+    assert got == want
+    assert len(want) >= 40  # the ~43 planted pairs are actually found
