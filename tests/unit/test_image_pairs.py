@@ -67,22 +67,22 @@ def test_phash_hamming_pairs_plan_is_equi_join(spark):
 
 
 def test_caption_carry_keeps_first_seen_per_cluster(spark):
-    from web_crawler_search_engine_spark.plans.catalog import q_caption_carry
-    from web_crawler_search_engine_spark.sources.corpus import (
-        corpus_df,
-        generate_world,
+    from web_crawler_search_engine_spark.plans.catalog import (
+        _caption_carry_rows,
+        q_caption_carry,
     )
 
-    world = generate_world(n=120, hosts=4, seed=17, with_images=True)
-    corpus = (
-        corpus_df(spark, world)
-        .filter(F.col("bytes").isNotNull())
-        .select("image_id", "url", "phash", "caption")
-        .collect()
-    )
+    rows = _caption_carry_rows()
     by_phash: dict[int, list] = {}
-    for r in corpus:
-        by_phash.setdefault(r["phash"], []).append(r)
+    for iid, url, ph, cap in rows:
+        by_phash.setdefault(ph, []).append(
+            {"image_id": iid, "url": url, "caption": cap}
+        )
+    # the alt re-posts guarantee multi-caption clusters exist, so the
+    # ordered-distinct aggregation is actually exercised
+    assert any(
+        len({m["caption"] for m in ms}) > 1 for ms in by_phash.values()
+    )
     got = {r["phash"]: r for r in q_caption_carry(spark, "").collect()}
     assert set(got) == set(by_phash)
     for ph, members in by_phash.items():

@@ -2173,11 +2173,16 @@ def q_caption_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dropped copies are carried onto the keeper — one groupBy on the
     dedup key, min_by for the keeper, ordered-distinct aggregation for
     the carried captions. One shuffle at cluster-count cardinality;
-    at 100 TB this is the same partitioned agg as any keyed rollup."""
-    from ..sources.corpus import corpus_df, generate_world
+    at 100 TB this is the same partitioned agg as any keyed rollup.
 
-    world = generate_world(n=120, hosts=4, seed=17, with_images=True)
-    corpus = corpus_df(spark, world).filter(F.col("bytes").isNotNull())
+    Input = the seeded corpus plus alt-caption re-posts (every 5th
+    image re-posted under a new URL with a DIFFERENT caption — the
+    corpus's own phash dups share captions, which would leave the
+    ordered-distinct aggregation untested)."""
+    corpus = spark.createDataFrame(
+        _caption_carry_rows(),
+        "image_id string, url string, phash long, caption string",
+    )
     return corpus.groupBy("phash").agg(
         F.min_by("image_id", "url").alias("kept_image"),
         F.count(F.lit(1)).alias("n_images"),
@@ -2187,15 +2192,25 @@ def q_caption_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _caption_carry_rows() -> list[tuple[str, str, int, str]]:
+    rows = [
+        (r["image_id"], r["url"], r["phash"], r["caption"])
+        for r in _image_rows()
+    ]
+    alts = [
+        (iid + "~alt", url + "~z", ph, "alt caption for " + cap)
+        for i, (iid, url, ph, cap) in enumerate(rows)
+        if i % 5 == 0
+    ]
+    return rows + alts
+
+
 def _caption_carry_sql() -> str:
     vals = ", ".join(
         "('{}', '{}', {}, '{}')".format(
-            r["image_id"],
-            r["url"],
-            r["phash"],
-            r["caption"].replace("'", "''"),
+            iid, url, ph, cap.replace("'", "''")
         )
-        for r in _image_rows()
+        for iid, url, ph, cap in _caption_carry_rows()
     )
     return f"""
 WITH img(image_id, url, phash, caption) AS (VALUES {vals})
