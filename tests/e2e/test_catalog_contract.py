@@ -1,6 +1,6 @@
 """Driver-contract gate, in-suite: a fast representative subset of the
 catalog compared Spark-vs-DuckDB at sf0.001 (SURVEY §5.3 'driver
-contract' row). The full 40-query sweep is tools/check_catalog.py."""
+contract' row). The full catalog sweep is tools/check_catalog.py."""
 
 import sys
 from pathlib import Path
@@ -34,6 +34,10 @@ SUBSET = [
     "q_image_quality",
     "q_image_neardup_clusters",
     "q_image_curate",
+    "q_doc_repetition",
+    "q_pii_scrub",
+    "q_domain_sample",
+    "q_kmeans_ivf",
 ]
 
 

@@ -2431,3 +2431,393 @@ FROM q JOIN surv s ON q.image_id = s.image_id
 
 QUERIES.update({"q_image_curate": q_image_curate})
 ORACLE_SQL.update({"q_image_curate": _image_curate_sql()})
+
+
+# ===========================================================================
+# Batch 5 — corpus-curation operators a production training-data pipeline
+# runs between crawl and tokenize: published repetition-quality rules,
+# PII scrubbing, and per-domain balanced sampling. All JVM Column
+# expressions; every fraction is reported in exact integer ppm
+# (floor-division) so the two engines cannot drift on float rounding.
+# ===========================================================================
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    table A1): per document, the fraction of 3-gram occurrences that
+    belong to a 3-gram repeated within the same doc, and the share of
+    the single most frequent bigram — the filters that catch
+    boilerplate and keyword-stuffed pages the length/stopword pass
+    (q_quality_score) misses. Reference anchor: the rare-ngram prune
+    is the reference's only repetition handling
+    (inverted_indexer/indexer/worker.py:118-159); this is its
+    training-pipeline generalization.
+
+    Shape at scale: two explode→groupBy passes over (doc_id, gram)
+    with map-side combine, joined back on doc_id — shuffle volume is
+    O(total grams), no all-pairs, no window over the corpus. Fractions
+    are integer ppm via floor division (exact in both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    # sequence(1, n) steps DOWNWARD when n < 1 (see _shingles), so docs
+    # too short for an n-gram must be filtered before the transform.
+    tri = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i),
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n3"),
+            F.sum(F.when(F.col("count") >= 2, F.col("count")).otherwise(0)).alias(
+                "dup3"
+            ),
+        )
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    ),
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("nb"), F.max("count").alias("topb"))
+    )
+    return (
+        toks.select("doc_id", F.size("t").alias("n_tokens"))
+        .join(tri, "doc_id")
+        .join(bi, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("(dup3 * 1000000) div n3").alias("dup_3gram_ppm"),
+            F.expr("(topb * 1000000) div nb").alias("top_bigram_ppm"),
+        )
+    )
+
+
+_SQL_DOC_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tri AS (
+  SELECT doc_id, sum(c) AS n3,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3
+  FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+      WHERE len(t) >= 3)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id),
+bi AS (
+  SELECT doc_id, sum(c) AS nb, max(c) AS topb
+  FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id)
+SELECT toks.doc_id, len(t) AS n_tokens,
+       (dup3 * 1000000) // n3 AS dup_3gram_ppm,
+       (topb * 1000000) // nb AS top_bigram_ppm
+FROM toks JOIN tri ON toks.doc_id = tri.doc_id
+          JOIN bi ON toks.doc_id = bi.doc_id
+"""
+
+
+# PII patterns kept to the regex subset with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): character classes + bounded
+# quantifiers, no lookaround, no backreferences.
+_PII_URL = r"https?://[^ ]+"
+_PII_EMAIL = r"[a-z0-9.]+@[a-z0-9.-]+\.[a-z]+"
+_PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking pass (emails / URLs / phone numbers → typed mask
+    tokens) — the redaction step every public training corpus applies
+    before tokenization. The synthetic documents carry no PII, so every
+    5th doc gets a deterministic planted contact line (same plant on
+    both engines — the catalog's established teeth pattern, cf.
+    _docs_with_dupes); the scrubbed TEXT itself is part of the compared
+    output, so a single character of regex-semantics drift fails the
+    gate. One projection, no shuffle; at 100 TB this is a map-only
+    stage that pipelines into the tokenizer scan."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" email user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com visit https://ex.co/u"),
+                F.col("doc_id").cast("string"),
+                F.lit(" call 555-123-4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_URL, "<URL>"),
+            _PII_EMAIL,
+            "<EMAIL>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return planted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_URL), 0)).alias(
+            "n_urls"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), 0)).alias(
+            "n_phones"
+        ),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+_SQL_PII_SCRUB = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' email user' || doc_id || '@example.com visit https://ex.co/u'
+                || doc_id || ' call 555-123-4567'
+         ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_URL}')) AS n_urls,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(
+         text, '{_PII_URL}', '<URL>', 'g'),
+         '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM planted
+"""
+
+
+def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain balanced sampling: keep the DOMAIN_CAP docs with the
+    smallest portable hash per source — the deterministic stratified
+    downsample that stops one mega-domain from dominating a training
+    mix (the knob CC-based corpora tune per dump). Hash-ordered
+    selection makes the sample reproducible and composable across
+    incremental runs (a doc's keep/drop never depends on what else
+    arrived).
+
+    Shape at scale: window rank within source — one shuffle on the
+    stratum key. A hot domain makes that reducer wide; the engine's
+    salted two-phase top-K pre-reduce (operators/scheduler.py, P7) is
+    the drop-in fix at 100 TB: pre-reduce each partition to its local
+    top-DOMAIN_CAP before the global window, bounding any reducer's
+    input to cap × n_partitions rows."""
+    docs = _t(spark, sf_dir, "documents")
+    h = _phash(
+        F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .select("doc_id", "source", "rk")
+    )
+
+
+DOMAIN_CAP = 10
+
+_SQL_DOMAIN_SAMPLE = f"""
+WITH hashed AS (
+  SELECT doc_id, source,
+         {_PHASH_SQL.format("source || ':' || doc_id::VARCHAR")} AS h
+  FROM documents),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM hashed)
+SELECT doc_id, source, rk FROM ranked WHERE rk <= {DOMAIN_CAP}
+"""
+
+
+QUERIES.update(
+    {
+        "q_doc_repetition": q_doc_repetition,
+        "q_pii_scrub": q_pii_scrub,
+        "q_domain_sample": q_domain_sample,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "q_doc_repetition": _SQL_DOC_REPETITION,
+        "q_pii_scrub": _SQL_PII_SCRUB,
+        "q_domain_sample": _SQL_DOMAIN_SAMPLE,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Batch 5b — trained IVF coarse quantizer: integer-exact Lloyd k-means.
+
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_DIMS = 64
+
+
+def _km_quant(emb_col):
+    """Nonnegative BIGINT quantization floor((x+2)*1e6): the +2 offset
+    (embeddings live in [-0.53, 0.46]) keeps every value, every member
+    sum, and every centroid positive, so truncating integer division
+    (Spark ``div``) and floor division (DuckDB ``//``) agree — the two
+    engines cannot drift on a negative quotient. Distances are
+    offset-invariant: (x+2 - (c+2))² = (x-c)²."""
+    return F.transform(
+        emb_col, lambda x: F.floor((x.cast("double") + 2.0) * 1000000.0).cast("long")
+    )
+
+
+def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF coarse quantizer: K=8 Lloyd k-means over the
+    embedding table, 2 update rounds from deterministic seeds (the K
+    lowest vec_ids), integer-exact end to end — the trained complement
+    to q_ann_ivf_topk's hyperplane cells (a production ANN index trains
+    its cell centroids; FAISS IVF, SPANN). Assignment is argmin of an
+    exact integer squared distance with first-index tie-break; update
+    is per-dim floor(sum/count); an emptied cluster keeps its previous
+    centroid (deterministic).
+
+    Shape at scale: each Lloyd round is ONE map-side-combined groupBy
+    over (cluster, dim) — shuffle volume O(K·dims·partitions), data
+    volume O(n·dims) scanned per round. Centroids (K×dims longs) are
+    the only driver state, collected per round and re-broadcast as plan
+    literals — the classic bounded-state distributed Lloyd. The argmin
+    over K is a fixed-width JVM expression (no crossJoin, no UDF)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _km_quant(F.col("embedding")).alias("xq"))
+
+    seeds = (
+        q.orderBy("vec_id").limit(_KM_K).collect()
+    )  # K rows — bounded driver state
+    centroids = [list(r["xq"]) for r in seeds]
+
+    def assign(df, cents):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("xq"),
+                        F.array(*[F.lit(int(w)).cast("long") for w in c]),
+                        lambda x, w: (x - w) * (x - w),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                for c in cents
+            ]
+        )
+        return df.withColumn("dists", dists).select(
+            "vec_id",
+            "xq",
+            (F.array_position(F.col("dists"), F.array_min(F.col("dists"))) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min(F.col("dists")).alias("dist"),
+        )
+
+    for _ in range(_KM_ITERS):
+        asg = assign(q, centroids)
+        upd = (
+            asg.select("cluster", F.posexplode("xq").alias("d", "w"))
+            .groupBy("cluster", "d")
+            .agg(F.expr("sum(w) div count(*)").alias("cw"))
+            .collect()
+        )  # K*dims rows — bounded driver state
+        new_c = [list(c) for c in centroids]  # emptied cluster keeps old
+        for r in upd:
+            new_c[r["cluster"]][r["d"]] = int(r["cw"])
+        centroids = new_c
+
+    return assign(q, centroids).select("vec_id", "cluster", "dist")
+
+
+def _km_sql() -> str:
+    def assign_cte(vecs: str, cents: str, out: str) -> str:
+        return f"""
+{out}_d AS (
+  SELECT v.vec_id, c.c,
+         sum((v.xq[u.d] - c.w[u.d]) * (v.xq[u.d] - c.w[u.d])) AS dist
+  FROM {vecs} v, {cents} c, unnest(generate_series(1, {_KM_DIMS})) AS u(d)
+  GROUP BY 1, 2),
+{out} AS (
+  SELECT vec_id, c AS cluster, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
+  FROM {out}_d)"""
+
+    def update_cte(asg: str, prev: str, out: str) -> str:
+        # list(...ORDER BY d) rebuilds the centroid vector; LEFT JOIN from
+        # the previous centroids keeps an emptied cluster's old vector.
+        return f"""
+{out}_u AS (
+  SELECT a.cluster AS c, u.d, sum(v.xq[u.d]) // count(*) AS cw
+  FROM {asg} a JOIN vecs v ON v.vec_id = a.vec_id,
+       unnest(generate_series(1, {_KM_DIMS})) AS u(d)
+  WHERE a.rk = 1
+  GROUP BY 1, 2),
+{out} AS (
+  SELECT g.c, list(coalesce(u.cw, g.pw) ORDER BY g.d) AS w
+  FROM (SELECT p.c, d.d, p.w[d.d] AS pw
+        FROM {prev} p, unnest(generate_series(1, {_KM_DIMS})) AS d(d)) g
+  LEFT JOIN {out}_u u ON u.c = g.c AND u.d = g.d
+  GROUP BY g.c)"""
+
+    return f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor((x::DOUBLE + 2.0) * 1000000.0)::BIGINT) AS xq
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, xq AS w
+  FROM vecs ORDER BY vec_id LIMIT {_KM_K}),
+{assign_cte("vecs", "c0", "a1")},
+{update_cte("a1", "c0", "c1")},
+{assign_cte("vecs", "c1", "a2")},
+{update_cte("a2", "c1", "c2")},
+{assign_cte("vecs", "c2", "a3")}
+SELECT vec_id, cluster::INT AS cluster, dist
+FROM a3 WHERE rk = 1
+"""
+
+
+QUERIES.update({"q_kmeans_ivf": q_kmeans_ivf})
+ORACLE_SQL.update({"q_kmeans_ivf": _km_sql()})
