@@ -72,6 +72,8 @@ HEADLINERS = [
     "q_ann_lsh_buckets",
     "q_ann_ivf_topk",
     "q_quality_score",
+    "q_doc_repetition",
+    "q_kmeans_ivf",
 ]
 
 

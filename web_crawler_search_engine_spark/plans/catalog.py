@@ -2637,11 +2637,12 @@ def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrived).
 
     Shape at scale: window rank within source — one shuffle on the
-    stratum key. A hot domain makes that reducer wide; the engine's
-    salted two-phase top-K pre-reduce (operators/scheduler.py, P7) is
-    the drop-in fix at 100 TB: pre-reduce each partition to its local
-    top-DOMAIN_CAP before the global window, bounding any reducer's
-    input to cap × n_partitions rows."""
+    stratum key, and Catalyst inserts a WindowGroupLimit(Partial)
+    BEFORE the exchange (locked by the plan audit): every map
+    partition pre-reduces to its local top-DOMAIN_CAP per source, so a
+    hot mega-domain ships at most cap × n_partitions rows into the
+    reducer — the same two-phase top-K the politeness scheduler builds
+    by hand (operators/scheduler.py, P7), here for free."""
     docs = _t(spark, sf_dir, "documents")
     h = _phash(
         F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))
