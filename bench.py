@@ -74,6 +74,10 @@ HEADLINERS = [
     "q_quality_score",
     "q_doc_repetition",
     "q_kmeans_ivf",
+    "q_paragraph_dedup",
+    "q_substring_spans",
+    "q_semdedup",
+    "q_pagerank",
 ]
 
 

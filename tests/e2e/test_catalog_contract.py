@@ -38,6 +38,10 @@ SUBSET = [
     "q_pii_scrub",
     "q_domain_sample",
     "q_kmeans_ivf",
+    "q_paragraph_dedup",
+    "q_substring_spans",
+    "q_semdedup",
+    "q_pagerank",
 ]
 
 

@@ -2822,3 +2822,427 @@ FROM a3 WHERE rk = 1
 
 QUERIES.update({"q_kmeans_ivf": q_kmeans_ivf})
 ORACLE_SQL.update({"q_kmeans_ivf": _km_sql()})
+
+
+# ===========================================================================
+# Batch 6 — corpus dedup operators from the published LLM-data
+# playbook that the earlier batches don't cover: paragraph-grain
+# exact dedup (CCNet), exact substring-run detection (the k-gram
+# approximation of Lee et al. 2022's suffix-array dedup), and
+# centroid-blocked semantic dedup (SemDeDup, Abbas et al. 2023).
+# All JVM Column expressions over the documents/embeddings tables.
+# ===========================================================================
+
+
+_PARA_W = 10  # tokens per "paragraph" (the synthetic corpus has no \n)
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-hash dedup (Wenzek et al. 2019): split
+    every document into fixed 10-token paragraphs, hash each, keep
+    only the FIRST occurrence of each hash in (doc_id, para_idx)
+    order, and report the per-document survival counts — the
+    paragraph-grain complement to q_exact_dedup (whole-doc) and
+    q_substring_spans (arbitrary-offset runs).
+
+    Shape at scale: paragraph explode is narrow (10-token strings),
+    the first-occurrence decision is ONE window over the paragraph
+    hash — i.e. one shuffle at paragraph volume partitioned by hash
+    (no skew: hashes are uniform), then a map-side-combined groupBy
+    back to doc grain. No UDF, no driver state. At 100 TB the window
+    becomes the standard dedup shuffle; hot hashes (boilerplate
+    paragraphs repeated millions of times) rank cheaply because only
+    rank-1 survives — a min-aggregation semantics AQE handles without
+    a full sort (and the window key is the hash itself, so a
+    two-stage partial min(doc_id,idx)-per-hash rewrite is available
+    if a single reducer key ever hotspots)."""
+    dd = _docs_with_dupes(spark, sf_dir)
+    arr = F.split(F.col("text"), " ")
+    paras = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(arr) / _PARA_W).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(arr, i * _PARA_W + 1, _PARA_W)),
+    )
+    p = dd.select("doc_id", F.posexplode(paras).alias("para_idx", "para"))
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy("doc_id", "para_idx")
+    ranked = p.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias("n_kept"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_paras").cast("long").alias("n_paras"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
+_SQL_PARA_DEDUP = f"""
+WITH dd AS ({_DOCS_DUPES_SQL}),
+t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM dd),
+p AS (
+  SELECT doc_id, u.i AS para_idx,
+         array_to_string(list_slice(arr, u.i * {_PARA_W} + 1,
+                                    u.i * {_PARA_W} + {_PARA_W}), ' ') AS para
+  FROM t, unnest(range(0, (len(arr) + {_PARA_W} - 1) // {_PARA_W})) AS u(i)),
+r AS (
+  SELECT doc_id, para_idx,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, para_idx) AS rk
+  FROM p)
+SELECT doc_id, count(*)::BIGINT AS n_paras,
+       sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM r GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+_SPAN_K = 8  # gram width (tokens)
+_SPAN_MIN_GRAMS = 3  # runs shorter than this are noise, not plagiarism
+
+
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring runs between document pairs — the
+    distributed k-gram approximation of suffix-array substring dedup
+    (Lee et al. 2022, 'Deduplicating Training Data Makes Language
+    Models Better'): positions whose 8-token grams hash equal are
+    joined across docs, and maximal runs are recovered as islands of
+    consecutive positions on one (doc_a, doc_b, offset-diagonal) —
+    a run of g consecutive matching grams certifies an exact shared
+    substring of g+7 tokens.
+
+    Shape at scale: the only big shuffle is the gram-hash equi-join —
+    grams are Zipf-rare so buckets stay sparse (boilerplate grams
+    that DO repeat globally are exactly the content this op exists to
+    find). The island grouping is a window per (pair, diagonal) whose
+    partitions are tiny (one per matching doc pair), never corpus-
+    sized. No all-pairs stage exists anywhere; a suffix array on a
+    single box is O(corpus) memory — this is the shape that shards."""
+    dd = _docs_with_dupes(spark, sf_dir)
+    arr = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(arr) >= _SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (_SPAN_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, _SPAN_K)),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    g = dd.select(
+        "doc_id", F.posexplode(grams).alias("p0", "gram")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), _phash(F.col("gram")).alias("gh"))
+    a, b = g.alias("a"), g.alias("b")
+    hits = (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+            F.col("a.pos").alias("a_pos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("a_pos")
+    runs = (
+        hits.withColumn("island", F.col("a_pos") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.min("a_pos").alias("a_start"), F.count(F.lit(1)).alias("g_cnt"))
+        .filter(F.col("g_cnt") >= _SPAN_MIN_GRAMS)
+    )
+    return runs.select(
+        "doc_a",
+        "doc_b",
+        F.col("a_start").cast("long").alias("a_start"),
+        (F.col("a_start") - F.col("diag")).cast("long").alias("b_start"),
+        (F.col("g_cnt") + (_SPAN_K - 1)).cast("long").alias("span_tokens"),
+    )
+
+
+_SQL_SPANS = f"""
+WITH dd AS ({_DOCS_DUPES_SQL}),
+t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM dd),
+g AS (
+  SELECT doc_id, u.i AS pos,
+         ('0x' || substr(md5(array_to_string(
+             list_slice(arr, u.i, u.i + {_SPAN_K - 1}), ' ')), 1, 15))::BIGINT AS gh
+  FROM t, unnest(range(1, greatest(len(arr) - {_SPAN_K - 2}, 1))) AS u(i)),
+hits AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos - b.pos AS diag, a.pos AS a_pos
+  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+runs AS (
+  SELECT doc_a, doc_b, diag,
+         a_pos - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                    ORDER BY a_pos) AS island,
+         a_pos
+  FROM hits)
+SELECT doc_a, doc_b, min(a_pos)::BIGINT AS a_start,
+       (min(a_pos) - diag)::BIGINT AS b_start,
+       (count(*) + {_SPAN_K - 1})::BIGINT AS span_tokens
+FROM runs GROUP BY doc_a, doc_b, diag, island
+HAVING count(*) >= {_SPAN_MIN_GRAMS}
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+_SEM_TAU = 0.45  # same tie-safe rounded-cosine threshold as q_dedup_embedding_cosine
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every embedding to its
+    nearest centroid, then compare pairs ONLY within a cluster and
+    drop every vector that has a more-senior (lower vec_id) neighbor
+    above the cosine threshold. Centroids here are the K=8 seed
+    vectors (lowest vec_ids) — the one-shot-assignment form; the
+    trained form is the same query with q_kmeans_ivf's Lloyd output.
+
+    Shape at scale: the cluster id blocks the pair space exactly like
+    the paper (K ∝ n/10⁴ keeps per-cluster pair counts bounded);
+    assignment is a fixed-width argmin over K literal centroids — no
+    crossJoin, no UDF, no shuffle beyond the within-cluster self-join.
+    Cross-engine exactness: integer squared distances (same
+    quantization as q_kmeans_ivf) with first-index tie-break, and the
+    cosine rounded to 4 places against a threshold no rounded value
+    can straddle."""
+    e = _emb_with_dupes(spark, sf_dir).withColumn(
+        "xq", _km_quant(F.col("embedding"))
+    )
+    seeds = (
+        e.select("vec_id", "xq").orderBy("vec_id").limit(_KM_K).collect()
+    )  # K rows — bounded driver state
+    cents = [list(r["xq"]) for r in seeds]
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("xq"),
+                    F.array(*[F.lit(int(w)).cast("long") for w in c]),
+                    lambda x, v: (x - v) * (x - v),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for c in cents
+        ]
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    asg = e.withColumn("dists", dists).select(
+        "vec_id",
+        "embedding",
+        (F.array_position(F.col("dists"), F.array_min(F.col("dists"))) - 1)
+        .cast("int")
+        .alias("cluster"),
+        nrm.alias("nrm"),  # per-row norm: computed n times, not n²/K times
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _SEM_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return asg.join(drops.withColumn("dropped", F.lit(True)), "vec_id", "left").select(
+        "vec_id", "cluster", F.coalesce(F.col("dropped"), F.lit(False)).alias("dropped")
+    )
+
+
+def _semdedup_sql() -> str:
+    return f"""
+WITH ee AS ({_EMB_DUPES_SQL}),
+vecs AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> floor((x::DOUBLE + 2.0) * 1000000.0)::BIGINT) AS xq
+  FROM ee),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, xq AS w
+  FROM vecs ORDER BY vec_id LIMIT {_KM_K}),
+ad AS (
+  SELECT v.vec_id, c.c,
+         sum((v.xq[u.d] - c.w[u.d]) * (v.xq[u.d] - c.w[u.d])) AS dist
+  FROM vecs v, c0 c, unnest(generate_series(1, {_KM_DIMS})) AS u(d)
+  GROUP BY 1, 2),
+asg AS (
+  SELECT vec_id, c AS cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
+  FROM ad),
+drops AS (
+  SELECT DISTINCT bb.vec_id
+  FROM asg aa JOIN asg bb
+    ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+   AND aa.rk = 1 AND bb.rk = 1
+  JOIN ee ea ON ea.vec_id = aa.vec_id
+  JOIN ee eb ON eb.vec_id = bb.vec_id
+  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                     eb.embedding::DOUBLE[]), 4) >= {_SEM_TAU})
+SELECT a.vec_id, a.cluster::INT AS cluster,
+       (d.vec_id IS NOT NULL) AS dropped
+FROM asg a LEFT JOIN drops d ON d.vec_id = a.vec_id
+WHERE a.rk = 1
+"""
+
+
+QUERIES.update(
+    {
+        "q_paragraph_dedup": q_paragraph_dedup,
+        "q_substring_spans": q_substring_spans,
+        "q_semdedup": q_semdedup,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "q_paragraph_dedup": _SQL_PARA_DEDUP,
+        "q_substring_spans": _SQL_SPANS,
+        "q_semdedup": _semdedup_sql(),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Batch 6b — frontier prioritization: PageRank over a link graph.
+# The reference crawls BFS (frontier.py to_be_downloaded list popped
+# FIFO); the north_star upgrades that to a priority queue. The
+# standard crawl priority is link-graph PageRank — implemented here
+# as the iterative Spark aggregation it is at scale, integer-exact
+# so the DuckDB twin agrees bit-for-bit.
+
+
+_PR_ITERS = 3
+_PR_FANOUT = 3
+_PR_SCALE = 10**12  # total rank mass in fixed-point units
+
+
+def _pr_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """Deterministic doc→doc link graph: every document emits
+    _PR_FANOUT edges whose targets are portable-hash draws over the
+    doc-id space (the synthetic tables carry no link column, so the
+    graph is derived — same derivation in the oracle). Multi-edges
+    are kept: out-degree is exactly _PR_FANOUT for every node, which
+    also means no dangling-mass correction is needed."""
+    dd = _docs_with_dupes(spark, sf_dir)
+    n = dd.count()  # scalar driver state, same value both engines
+    ids = dd.select("doc_id")
+    edges = ids.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    _phash(F.concat(F.col("doc_id").cast("string"), F.lit(f"|{i}")))
+                    for i in range(_PR_FANOUT)
+                ]
+            )
+        ).alias("h"),
+    )
+    # map the hash draw onto the RANK of the doc id (doc ids are not
+    # dense: clones live at +100000), via a sorted id rank join
+    w = Window.orderBy("doc_id")
+    ranked = ids.select(
+        F.col("doc_id").alias("dst"), (F.row_number().over(w) - 1).alias("r")
+    )
+    return (
+        edges.join(ranked, edges.h % n == ranked.r).select("src", "dst"),
+        n,
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-priority PageRank, fixed 3 iterations, integer fixed-point
+    (damping 85/100 applied as BIGINT div — truncating division agrees
+    across engines for the all-positive domain). rank₀ = SCALE/n;
+    rankₜ₊₁ = 15%·SCALE/n + 85%·Σ contrib, contrib = rank div fanout.
+
+    Shape at scale: each iteration is ONE equi-join (edges ⋈ ranks on
+    src — at web scale pre-partition both on src so iterations reuse
+    the exchange) and ONE map-side-combined groupBy(dst). Driver state
+    is zero (no collect in the loop); lineage grows linearly in the
+    fixed iteration count so no checkpoint is needed. The classic
+    skew hazard (everyone links to /index.html) shows up as a hot dst
+    key in the SUM — AQE skew-join or salted partial sums handle it;
+    the aggregation itself is already associative."""
+    edges, n = _pr_edges(spark, sf_dir)
+    base = F.lit(_PR_SCALE // n).cast("long")
+    ranks = edges.select("src").distinct().select(
+        F.col("src").alias("doc_id"), base.alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .select("dst", F.expr(f"rank div {_PR_FANOUT}").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        teleport = 15 * (_PR_SCALE // n) // 100  # exact, computed once
+        ranks = ranks.select("doc_id").join(
+            contrib, ranks.doc_id == contrib.dst, "left"
+        ).select(
+            "doc_id",
+            (
+                F.lit(teleport).cast("long")
+                + F.expr("85 * coalesce(s, cast(0 as bigint)) div 100")
+            ).cast("long").alias("rank"),
+        )
+    return ranks.select("doc_id", "rank")
+
+
+def _pagerank_sql() -> str:
+    hash_draw = " UNION ALL ".join(
+        f"SELECT doc_id AS src, ('0x' || substr(md5(doc_id::VARCHAR || '|{i}'), 1, 15))::BIGINT AS h FROM dd"
+        for i in range(_PR_FANOUT)
+    )
+    out = f"""
+WITH dd AS ({_DOCS_DUPES_SQL}),
+nn AS (SELECT count(*) AS n FROM dd),
+rk AS (SELECT doc_id AS dst, row_number() OVER (ORDER BY doc_id) - 1 AS r FROM dd),
+ed AS (
+  SELECT e.src, rk.dst
+  FROM ({hash_draw}) e JOIN nn ON true
+  JOIN rk ON e.h % nn.n = rk.r),
+r0 AS (SELECT doc_id, ({_PR_SCALE} // n)::BIGINT AS rank FROM dd JOIN nn ON true)"""
+    prev = "r0"
+    for t in range(1, _PR_ITERS + 1):
+        out += f""",
+c{t} AS (
+  SELECT ed.dst, sum(p.rank // {_PR_FANOUT}) AS s
+  FROM ed JOIN {prev} p ON ed.src = p.doc_id
+  GROUP BY ed.dst),
+r{t} AS (
+  SELECT p.doc_id,
+         (15 * ({_PR_SCALE} // nn.n) // 100
+          + 85 * coalesce(c.s, 0) // 100)::BIGINT AS rank
+  FROM {prev} p JOIN nn ON true LEFT JOIN c{t} c ON c.dst = p.doc_id)"""
+        prev = f"r{t}"
+    return out + f"\nSELECT doc_id, rank FROM {prev}"
+
+
+QUERIES.update({"q_pagerank": q_pagerank})
+ORACLE_SQL.update({"q_pagerank": _pagerank_sql()})
