@@ -193,10 +193,22 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
 
     t0 = time.monotonic()
     m_bits = seen_ops.plan_m_bits(2 * n, 16)
+    # two-layer filter in its mid-compaction-window state (engine
+    # r3.1): BASE covers the ledger up to the last compaction; ACCUM
+    # holds the rounds committed since — modeled as 4 rounds' worth of
+    # deltas (half a compact_every=8 window). The probe reads both
+    # layers; the per-round update touches only the accumulator, and
+    # the O(m) base fold runs once per window.
     words = seen_ops.bloom_word_updates(seen, "url_key", m_bits).persist(
         StorageLevel.MEMORY_ONLY
     )
+    accum = seen_ops.bloom_word_updates(
+        synth_frontier(spark, 4 * (n // 5), hosts, "accumset").select("url_key"),
+        "url_key",
+        m_bits,
+    ).persist(StorageLevel.MEMORY_ONLY)
     _run_to_completion(words)
+    _run_to_completion(accum)
     _phase("ledger_filter_build_one_time", t0)
 
     t0 = time.monotonic()
@@ -229,7 +241,7 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     links = fresh.unionByName(dupes)
     t1 = time.monotonic()
     unseen, probe_handle = seen_ops.anti_join_via_bloom(
-        links, seen, words, "url_key", m_bits=m_bits
+        links, seen, words, "url_key", m_bits=m_bits, delta_words=accum
     )
     _phase("bloom_probe_maybe_count", t1)
     t1 = time.monotonic()
@@ -244,13 +256,25 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     delta_words = seen_ops.bloom_word_updates(
         new_links.select("url_key"), "url_key", m_bits
     )
-    _run_to_completion(seen_ops.or_words(words, delta_words))
+    # per-round refresh folds the O(delta) words into the ACCUM layer
+    # only — the O(m) base is untouched until compaction
+    _run_to_completion(seen_ops.or_words(accum, delta_words))
     _phase("incremental_filter_update", t1)
     t_update = time.monotonic() - t0
+    # the O(m) base+accum fold runs once per compact_every(=8)-round
+    # window; charge the round its amortized share
+    t1 = time.monotonic()
+    _run_to_completion(seen_ops.or_words(words, accum))
+    phases["filter_compact_one_time"] = round(time.monotonic() - t1, 3)
+    phases["filter_compact_amortized"] = round(
+        phases["filter_compact_one_time"] / 8, 3
+    )
+    t_update += phases["filter_compact_amortized"]
 
     pending.unpersist()
     seen.unpersist()
     words.unpersist()
+    accum.unpersist()
     new_links.unpersist()
     probe_handle.unpersist()
     total = t_admit + t_update
@@ -306,10 +330,20 @@ def bench_delta_rehearsal(
 
     t0 = time.monotonic()
     m_bits = seen_ops.plan_m_bits(2 * n, 16)
+    # mid-window two-layer state (see bench_frontier_round): the ACCUM
+    # layer is sized by the DELTA (4 rounds' worth), not by the
+    # standing n — this mode evidences exactly that property as n
+    # grows 10x under a fixed delta
     words = seen_ops.bloom_word_updates(seen, "url_key", m_bits).persist(
         StorageLevel.MEMORY_ONLY
     )
+    accum = seen_ops.bloom_word_updates(
+        synth_frontier(spark, 4 * delta, hosts, "accumset").select("url_key"),
+        "url_key",
+        m_bits,
+    ).persist(StorageLevel.MEMORY_ONLY)
     _run_to_completion(words)
+    _run_to_completion(accum)
     _phase("ledger_filter_build_one_time", t0)
 
     # fixed-size delta, same fresh:dupe mix as the main round (7:5):
@@ -331,7 +365,7 @@ def bench_delta_rehearsal(
 
     t0 = time.monotonic()
     unseen, probe_handle = seen_ops.anti_join_via_bloom(
-        links, seen, words, "url_key", m_bits=m_bits
+        links, seen, words, "url_key", m_bits=m_bits, delta_words=accum
     )
     _phase("bloom_probe_maybe_count", t0)
     t0 = time.monotonic()
@@ -344,16 +378,24 @@ def bench_delta_rehearsal(
     delta_words = seen_ops.bloom_word_updates(
         new_links.select("url_key"), "url_key", m_bits
     )
-    _run_to_completion(seen_ops.or_words(words, delta_words))
+    _run_to_completion(seen_ops.or_words(accum, delta_words))
     _phase("incremental_filter_update", t0)
+    t0 = time.monotonic()
+    _run_to_completion(seen_ops.or_words(words, accum))
+    phases["filter_compact_one_time"] = round(time.monotonic() - t0, 3)
+    phases["filter_compact_amortized"] = round(
+        phases["filter_compact_one_time"] / 8, 3
+    )
 
     total = (
         phases["bloom_probe_maybe_count"]
         + phases["assign_seq"]
         + phases["incremental_filter_update"]
+        + phases["filter_compact_amortized"]
     )
     seen.unpersist()
     words.unpersist()
+    accum.unpersist()
     new_links.unpersist()
     probe_handle.unpersist()
     return {

@@ -160,3 +160,64 @@ def test_bloom_anti_join_randomized_property(spark):
         handle.unpersist()
         words.unpersist()
         assert got == want, (bits, k, len(got), len(want))
+
+
+def test_layered_probe_equals_merged_probe(spark, frames):
+    """The base+delta two-layer probe (maybe_seen_keys
+    delta_words=...) must flag exactly the keys the merged filter
+    flags — including false positives, which the layered form must
+    reproduce bit-for-bit because downstream admission order depends
+    on the maybe set. Split the ledger 80/20 into base/delta layers
+    and compare against or_words-merged, plus the saturation edges
+    (empty delta, delta-only keys)."""
+    seen, batch = frames
+    m = S.plan_m_bits(40_000, 16)
+    base_keys = seen.filter(F.pmod("url_key", F.lit(5)) != 0)
+    delta_keys = seen.filter(F.pmod("url_key", F.lit(5)) == 0)
+    base = S.bloom_word_updates(base_keys, "url_key", m).persist()
+    delta = S.bloom_word_updates(delta_keys, "url_key", m).persist()
+    merged = S.or_words(base, delta).persist()
+
+    def keyset(words, dw=None):
+        return sorted(
+            r["url_key"]
+            for r in S.maybe_seen_keys(
+                batch.select("url_key"), words, "url_key", m, delta_words=dw
+            ).collect()
+        )
+
+    assert keyset(base, delta) == keyset(merged)
+    # delta-only keys must be caught by the delta layer alone
+    empty = S.bloom_word_updates(
+        seen.limit(0), "url_key", m
+    )
+    assert keyset(empty, delta) == keyset(delta)
+    # a None delta is the plain single-layer probe
+    assert keyset(base, None) == keyset(base)
+    for d in (base, delta, merged):
+        d.unpersist()
+
+
+def test_layered_anti_join_equals_exact(spark, frames):
+    """anti_join_via_bloom with a delta layer still equals the plain
+    exact anti-join (the Bloom is only ever an accelerator)."""
+    seen, batch = frames
+    m = S.plan_m_bits(40_000, 16)
+    base = S.bloom_word_updates(
+        seen.filter(F.pmod("url_key", F.lit(3)) != 0), "url_key", m
+    ).persist()
+    delta = S.bloom_word_updates(
+        seen.filter(F.pmod("url_key", F.lit(3)) == 0), "url_key", m
+    ).persist()
+    unseen, handle = S.anti_join_via_bloom(
+        batch, seen, base, "url_key", m, delta_words=delta
+    )
+    got = sorted(r["id"] for r in unseen.select("id").collect())
+    want = sorted(
+        r["id"]
+        for r in batch.join(seen, "url_key", "left_anti").select("id").collect()
+    )
+    handle.unpersist()
+    base.unpersist()
+    delta.unpersist()
+    assert got == want

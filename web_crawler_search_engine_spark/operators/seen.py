@@ -153,6 +153,7 @@ def maybe_seen_keys(
     key_col: str,
     m_bits: int,
     k: int = 3,
+    delta_words: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct keys of ``batch_keys`` that MIGHT be in the filter
     (no false negatives; true dupes + FPs only).
@@ -163,6 +164,17 @@ def maybe_seen_keys(
     arrives already hash-partitioned on word_id (its groupBy /
     checkpoint output), so only the probe rows shuffle — O(k·batch)
     longs, never O(filter), and zero driver-serial broadcast build.
+
+    ``delta_words``: an OPTIONAL second filter layer over the same
+    (m_bits, k) layout — the small accumulator of rounds committed
+    since the last compaction. A bit counts as set if it is set in
+    EITHER layer, which equals probing ``or_words(words, delta)``
+    without ever materializing that O(m) merge: per round only the
+    O(delta) layer is rebuilt, and the full merge happens once per
+    compaction window (the same append+compact contract the frontier
+    log uses). The second join keys on the same word_id the probe
+    rows are already partitioned by, so it adds no probe-side
+    exchange — only the delta itself shuffles.
     """
     pos = F.explode(
         F.array(*_probe_positions(F.col(key_col), k, m_bits))
@@ -172,13 +184,21 @@ def maybe_seen_keys(
         "shiftrightunsigned(_pos, 6) AS word_id",
         "cast(_pos % 64 AS int) AS _bit",
     )
-    hit = F.expr("(shiftrightunsigned(coalesce(word, 0L), _bit) & 1)")
     # shuffle-hash, not sort-merge: word rows are 16-byte fixed-width,
     # so the per-partition hash build is small and we skip sorting
     # O(k·batch + filter) rows every round
+    joined = probes.join(words.hint("shuffle_hash"), "word_id", "left")
+    if delta_words is not None:
+        d = delta_words.select(
+            "word_id", F.col("word").alias("_dword")
+        )
+        joined = joined.join(d.hint("shuffle_hash"), "word_id", "left")
+        merged = "coalesce(word, 0L) | coalesce(_dword, 0L)"
+    else:
+        merged = "coalesce(word, 0L)"
+    hit = F.expr(f"(shiftrightunsigned({merged}, _bit) & 1)")
     return (
-        probes.join(words.hint("shuffle_hash"), "word_id", "left")
-        .select(F.col(key_col), hit.cast("int").alias("_hit"))
+        joined.select(F.col(key_col), hit.cast("int").alias("_hit"))
         .groupBy(key_col)
         .agg(F.min("_hit").alias("_allhit"))
         .filter(F.col("_allhit") == 1)
@@ -207,6 +227,7 @@ def anti_join_via_bloom(
     m_bits: int = 1 << 24,
     k: int = 3,
     broadcast_limit: int = 8_000_000,
+    delta_words: DataFrame | None = None,
 ) -> tuple[DataFrame, ProbeHandle]:
     """Rows of ``new_df`` whose key is NOT in ``seen_keys``.
 
@@ -227,7 +248,7 @@ def anti_join_via_bloom(
     """
     batch = new_df.persist()
     maybe = maybe_seen_keys(
-        batch.select(key_col), words, key_col, m_bits, k
+        batch.select(key_col), words, key_col, m_bits, k, delta_words
     ).persist()
     handle = ProbeHandle([batch, maybe])
     n_maybe = maybe.count()

@@ -134,9 +134,14 @@ class CrawlJob:
         # next discovery_seq, tracked driver-side from per-round
         # new_urls counts; None => recompute lazily from the log
         self._base: int | None = None
-        # in-memory Bloom word table (localCheckpoint'd per round);
-        # None => (re)build once from the committed seen_bloom log
+        # in-memory Bloom word table, split into the compaction-window
+        # BASE (O(m), rebuilt only at compaction/rebuild boundaries)
+        # plus a small DELTA accumulator of the rounds since — the
+        # probe reads both layers (seen_ops.maybe_seen_keys
+        # delta_words=...), so the O(m) or_words merge never runs
+        # per round; None => (re)build once from the committed log
         self._seen_words: DataFrame | None = None
+        self._delta_words: DataFrame | None = None
         self._m_bits: int | None = None
         self._n_seen: int = 0
 
@@ -228,6 +233,7 @@ class CrawlJob:
         self._base = self.pending.count()
         self._n_seen = self._base
         self._seen_words = None
+        self._delta_words = None
         self._m_bits = None
         self._filter_log_dirty = False
 
@@ -242,6 +248,7 @@ class CrawlJob:
         self.pending = self.store.load("pending")
         self.robots = self.store.load("robots")
         self._seen_words = None
+        self._delta_words = None
         self._filter_log_dirty = False
         meta = (self.store.manifest() or {}).get("meta", {}).get("seen_bloom", {})
         self._m_bits = meta.get("m_bits")
@@ -281,12 +288,14 @@ class CrawlJob:
                     .agg(F.bit_or("word").alias("word"))
                     .localCheckpoint(eager=False)
                 )
+                self._delta_words = None
                 self._filter_log_dirty = False
                 return
         self._m_bits = want_m
         self._seen_words = seen_ops.bloom_word_updates(
             self._log().select("url_key"), "url_key", want_m, cfg.bloom_k
         ).localCheckpoint(eager=False)
+        self._delta_words = None
         # any existing log may be stale or an older layout: the next
         # round commit replaces it wholesale (log_compact)
         self._filter_log_dirty = True
@@ -432,6 +441,7 @@ class CrawlJob:
                 "url_key",
                 m_bits=self._m_bits,
                 k=cfg.bloom_k,
+                delta_words=self._delta_words,
             )
         else:
             unseen = batch_unique.join(seen_keys, "url_key", "left_anti").persist()
@@ -649,17 +659,23 @@ class CrawlJob:
         # committed parquet, not the pre-commit lineage, so the
         # localCheckpoint can materialize lazily after new_links is
         # unpersisted below): rebuild => the compacted base IS the
-        # filter; append => co-partitioned bit_or merge of the delta.
+        # filter; append => fold the O(delta) word delta into the
+        # small ACCUMULATOR layer only — the O(m) base is untouched
+        # until compaction, so the per-round filter refresh costs
+        # O(words touched since compaction), never O(m_bits).
         if cfg.use_bloom and n_new > 0:
             if bloom_rebuilt:
                 self._seen_words = self.store.load_log(
                     "seen_bloom"
                 ).localCheckpoint(eager=False)
+                self._delta_words = None
                 self._filter_log_dirty = False
             else:
-                self._seen_words = seen_ops.or_words(
-                    self._seen_words,
-                    self.store.load_log_delta("seen_bloom", r),
+                round_delta = self.store.load_log_delta("seen_bloom", r)
+                self._delta_words = (
+                    round_delta
+                    if self._delta_words is None
+                    else seen_ops.or_words(self._delta_words, round_delta)
                 ).localCheckpoint(eager=False)
 
         for h in (admitted, fetched, new_links, probe_handle, pending_eval):
@@ -682,7 +698,10 @@ class CrawlJob:
             "frontier_log": self.frontier,
             "token_log": self.token_stats,
         }
-        if self.config.use_bloom and self.store.log_delta_count("seen_bloom"):
+        fold_bloom = self.config.use_bloom and self.store.log_delta_count(
+            "seen_bloom"
+        )
+        if fold_bloom:
             compacted["seen_bloom"] = (
                 self.store.load_log("seen_bloom")
                 .groupBy("word_id")
@@ -694,6 +713,14 @@ class CrawlJob:
             options={"frontier_log": KEY_BLOOM_OPTIONS},
             carry_tables=True,
         )
+        if fold_bloom:
+            # the compacted base IS the merged view: reset the
+            # in-memory layers so the probe's delta join disappears
+            # and the accumulator restarts empty
+            self._seen_words = self.store.load_log("seen_bloom").localCheckpoint(
+                eager=False
+            )
+            self._delta_words = None
 
     # ------------------------------------------------------------------
     def run(self, max_rounds: int = 1000) -> dict:
