@@ -78,6 +78,7 @@ HEADLINERS = [
     "q_substring_spans",
     "q_semdedup",
     "q_pagerank",
+    "q_bm25",
 ]
 
 

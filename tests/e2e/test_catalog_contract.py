@@ -42,6 +42,7 @@ SUBSET = [
     "q_substring_spans",
     "q_semdedup",
     "q_pagerank",
+    "q_bm25",
 ]
 
 

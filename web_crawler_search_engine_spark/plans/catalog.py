@@ -3246,3 +3246,81 @@ r{t} AS (
 
 QUERIES.update({"q_pagerank": q_pagerank})
 ORACLE_SQL.update({"q_pagerank": _pagerank_sql()})
+
+
+# ---------------------------------------------------------------------------
+# Batch 6c — BM25 ranking: the standard upgrade over the reference's
+# tf-idf ranker (A8/A9, indexer/__init__.py:192-198 +
+# start_search_engine.py:64-115), same plan shape: one groupBy for
+# tf, one window for df, driver scalars for N/avgdl, top-k on the
+# rounded score.
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the fixed query (Robertson/Sparck Jones;
+    Lucene's non-negative idf variant ln(1 + (N-df+0.5)/(df+0.5))).
+    Per-term scores round to 3 decimals BEFORE the per-doc sum and the
+    rank breaks ties on doc_id — the cross-engine float discipline
+    every ranked query in this catalog uses.
+
+    Shape at scale: identical to q_search_top5 — the postings build is
+    one token-grain groupBy plus one window over token (df); N and
+    avgdl are two driver scalars (the same role the reference's N
+    plays at indexer/__init__.py:194); the final rank is a
+    TakeOrderedAndProject, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = _tokens(docs)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]  # exact: sum/N on longs
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    wdf = Window.partitionBy("token")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (_BM25_K1 + 1) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(float(avgdl)))
+    )
+    term_score = F.round(idf * norm, 3)
+    scores = (
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("token").isin(_QUERY_TOKENS))
+        .join(dl, "doc_id")
+        .select("doc_id", term_score.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 3).alias("score"))
+    )
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+_SQL_BM25 = f"""
+WITH toks AS ({_TOKENS_SQL}),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+d AS (SELECT doc_id, token, tf,
+             count(*) OVER (PARTITION BY token) AS df FROM tf),
+term AS (
+  SELECT d.doc_id,
+         round(ln(1.0 + (stats.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * d.tf * ({_BM25_K1} + 1)
+               / (d.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                       + {_BM25_B} * dl.dl / ad.avgdl)),
+               3) AS s
+  FROM d JOIN dl ON dl.doc_id = d.doc_id, stats, ad
+  WHERE d.token IN ({', '.join(f"'{t}'" for t in _QUERY_TOKENS)}))
+SELECT doc_id, round(sum(s), 3) AS score
+FROM term GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+QUERIES.update({"q_bm25": q_bm25})
+ORACLE_SQL.update({"q_bm25": _SQL_BM25})
