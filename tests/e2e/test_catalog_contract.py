@@ -43,6 +43,7 @@ SUBSET = [
     "q_semdedup",
     "q_pagerank",
     "q_bm25",
+    "q_stratified_split",
 ]
 
 

@@ -3324,3 +3324,44 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 
 QUERIES.update({"q_bm25": q_bm25})
 ORACLE_SQL.update({"q_bm25": _SQL_BM25})
+
+
+# ---------------------------------------------------------------------------
+# Batch 6d — deterministic corpus splitting: the train/val/test
+# assignment every training-data pipeline ends with. Hash-based so
+# the split is reproducible, stable under re-runs and corpus
+# appends (a doc's split never depends on other rows), and exactly
+# proportioned in expectation — the property random() splits lack.
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split, stratified BY SOURCE: the split hash is salted
+    with the source so one domain's docs spread across splits
+    independently of another's id layout (otherwise id-correlated
+    domains skew val/test). Pure projection — no shuffle, no driver
+    state; at 100 TB this is a zero-cost column the writers partition
+    by (`partitionBy("split")`)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = _phash(
+        F.concat(F.col("source"), F.lit("|"), F.col("doc_id").cast("string"))
+    ) % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+    return docs.select(
+        "doc_id", "source", bucket.cast("int").alias("bucket"), split.alias("split")
+    )
+
+
+_SQL_SPLIT = f"""
+SELECT doc_id, source,
+       ({_PHASH_SQL.format("source || '|' || doc_id::VARCHAR")} % 10)::INT AS bucket,
+       CASE WHEN {_PHASH_SQL.format("source || '|' || doc_id::VARCHAR")} % 10 < 8 THEN 'train'
+            WHEN {_PHASH_SQL.format("source || '|' || doc_id::VARCHAR")} % 10 < 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+QUERIES.update({"q_stratified_split": q_stratified_split})
+ORACLE_SQL.update({"q_stratified_split": _SQL_SPLIT})
