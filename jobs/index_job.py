@@ -10,6 +10,7 @@ ledger and only parse new pages, S8).
         jobs/index_job.py \
         --pages /path/to/crawl_ckpt        # a CrawlJob checkpoint dir
         --out /path/to/index \
+        [--warc-dir /path/to/segments]     # *.warc archive input instead
         [--ledger /path/to/index_ledger]   # enables incremental resume
         [--fresh] [--dedup-shards W]
 """
@@ -27,10 +28,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="PySpark inverted-index build")
-    ap.add_argument(
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument(
         "--pages",
-        required=True,
         help="CrawlJob checkpoint dir (reads its committed pages log)",
+    )
+    src.add_argument(
+        "--warc-dir",
+        help="directory of *.warc crawl-archive segments (sources/warc.py)",
     )
     ap.add_argument("--out", required=True, help="index output dir")
     ap.add_argument(
@@ -62,11 +67,18 @@ def main() -> None:
     )
     from web_crawler_search_engine_spark.sources.checkpoints import SnapshotStore
 
-    pages = (
-        SnapshotStore(spark, args.pages)
-        .load_log("pages")
-        .select("url", "content")
-    )
+    if args.warc_dir:
+        from web_crawler_search_engine_spark.sources.warc import (
+            pages_from_warc,
+        )
+
+        pages = pages_from_warc(spark, args.warc_dir).select("url", "content")
+    else:
+        pages = (
+            SnapshotStore(spark, args.pages)
+            .load_log("pages")
+            .select("url", "content")
+        )
     if args.ledger and not args.fresh:
         store = SnapshotStore(spark, args.ledger)
         nxt = (store.latest_round() or 0) + 1
