@@ -96,6 +96,9 @@ _INVALID_LINKS = [
 ]
 
 
+_WORLD_CACHE: dict[tuple, "SynthWorld"] = {}
+
+
 def generate_world(
     n: int = 300,
     hosts: int = 8,
@@ -107,10 +110,23 @@ def generate_world(
 ) -> SynthWorld:
     """Build the deterministic synthetic web.
 
+    Memoized per parameter tuple: the generator is pure (seeded), the
+    catalog's image queries re-request the same world, and the real
+    JPEG codec makes generation seconds-scale — callers must treat
+    the returned world as read-only (every call site builds a
+    DataFrame from it and never mutates rows).
+
     ``dup_frac`` of rows are near-clones of an earlier row: identical
     visible text (same content-hash — X2 dedup) and identical pixels
     (same phash — X3 dedup) under their own URL.
     """
+    cache_key = (
+        n, hosts, seed, fanout, with_images, tuple(image_dim_choices),
+        dup_frac,
+    )
+    cached = _WORLD_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     rng = np.random.RandomState(seed)
     pyr = random.Random(seed)
     host_ids = _zipf_host_ids(rng, n, hosts)
@@ -211,7 +227,9 @@ def generate_world(
             robots[hname] = "User-agent: *\nDisallow:\n"
 
     seeds = [rows[0]["url"], rows[min(5, n - 1)]["url"], rows[min(17, n - 1)]["url"]]
-    return SynthWorld(rows=rows, robots=robots, seeds=seeds)
+    world = SynthWorld(rows=rows, robots=robots, seeds=seeds)
+    _WORLD_CACHE[cache_key] = world
+    return world
 
 
 def corpus_df(spark, world: SynthWorld):
