@@ -3365,3 +3365,152 @@ FROM documents
 
 QUERIES.update({"q_stratified_split": q_stratified_split})
 ORACLE_SQL.update({"q_stratified_split": _SQL_SPLIT})
+
+
+# ---------------------------------------------------------------------------
+# 52. benchmark decontamination (n-gram overlap vs an eval set)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus decontamination: flag every training document
+    that shares a word 3-shingle with the benchmark/eval set — the
+    standard pre-training hygiene pass (n-gram overlap decontamination
+    as practiced for public eval suites). The benchmark set is derived
+    deterministically (doc_id % 83 == 0) so both engines see the same
+    probes; training docs are the complement.
+
+    Scale shape: the probe set is benchmark-sized — eval suites are
+    thousands of docs, NOT corpus-sized — so the semi-join side is
+    legitimately broadcastable (contrast q_corpus_select, whose drop
+    set scales with the corpus and must NOT be broadcast). One shuffle
+    for the per-doc hit count at training-corpus volume; contaminated
+    docs come out with their hit counts so the pipeline can audit
+    before dropping.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    is_bench = F.col("doc_id") % 83 == 0
+    probes = (
+        sh.filter(is_bench).select("sh").distinct()
+    )
+    hits = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(probes), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+_SHINGLES_DOCS_SQL = _SHINGLES_SQL.replace("FROM dd)", "FROM documents)")
+
+_SQL_DECONTAMINATE = f"""
+WITH sh AS ({_SHINGLES_DOCS_SQL}),
+probes AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 83 = 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM sh s JOIN probes p ON s.sh = p.sh
+  WHERE s.doc_id % 83 <> 0
+  GROUP BY 1)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 83 <> 0
+"""
+
+QUERIES.update({"q_decontaminate": q_decontaminate})
+ORACLE_SQL.update({"q_decontaminate": _SQL_DECONTAMINATE})
+
+
+# ---------------------------------------------------------------------------
+# 53. unigram-LM perplexity bucketing (CCNet-style head/middle/tail)
+
+
+def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning: score each document by its
+    per-token negative log-likelihood under a unigram LM trained on
+    the corpus itself, then split the corpus into head/middle/tail
+    terciles — the classic quality-stratification step before
+    sampling pre-training data.
+
+    nll(doc) = avg over tokens of -ln(count(token)/total); the model
+    "training" is one map-side-combined groupBy over the token
+    explode, the scoring joins counts back on the token (corpus-sized
+    dim — a plain shuffle join, NOT broadcast), and the tercile cut
+    is over (rounded nll, doc_id) so cross-engine float noise cannot
+    flip bucket boundaries. At 100 TB the LM table is
+    vocabulary-sized (Zipf: ~millions of rows) and the whole pass is
+    two shuffles: token counts, then the per-doc aggregate.
+
+    The tercile is NOT a global ntile window — that moves every
+    per-doc row to one partition. It reuses the crawl engine's
+    distributed rank (operators/scheduler.assign_global_seq:
+    range-partition on the total order, prefix offsets, local rank)
+    plus closed-form ntile arithmetic on the dense rank, which equals
+    ntile(3) exactly (the oracle states it as ntile).
+    """
+    from ..operators.scheduler import assign_global_seq
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    lm = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()  # scalar aggregate: driver-safe
+    scored = (
+        toks.join(lm, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("cnt") / F.lit(float(total)))), 3
+            ).alias("nll")
+        )
+    )
+    n = scored.count()
+    q, rem = divmod(n, 3)
+    ranked = assign_global_seq(
+        scored, ["nll", "doc_id"], base=1, seq_col="_rank"
+    )
+    r = F.col("_rank")
+    # ntile(3): the first `rem` tiles hold q+1 rows, the rest hold q.
+    head_span = rem * (q + 1)
+    tier = F.when(
+        r <= head_span, F.floor((r - 1) / F.lit(q + 1)) + 1
+    ).otherwise(F.lit(rem) + F.floor((r - head_span - 1) / F.lit(max(q, 1))) + 1)
+    return ranked.select(
+        "doc_id",
+        "nll",
+        F.when(tier == 1, "head")
+        .when(tier == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+_SQL_PERPLEXITY = f"""
+WITH toks AS ({_TOKENS_SQL}),
+lm AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+total AS (SELECT count(*)::DOUBLE AS n FROM toks),
+scored AS (
+  SELECT t.doc_id, round(avg(-ln(l.cnt / total.n)), 3) AS nll
+  FROM toks t JOIN lm l ON t.token = l.token, total
+  GROUP BY t.doc_id),
+tiers AS (
+  SELECT doc_id, nll,
+         ntile(3) OVER (ORDER BY nll ASC, doc_id ASC) AS tier
+  FROM scored)
+SELECT doc_id, nll,
+       CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS bucket
+FROM tiers
+"""
+
+QUERIES.update({"q_perplexity_bucket": q_perplexity_bucket})
+ORACLE_SQL.update({"q_perplexity_bucket": _SQL_PERPLEXITY})
