@@ -79,6 +79,8 @@ HEADLINERS = [
     "q_semdedup",
     "q_pagerank",
     "q_bm25",
+    "q_decontaminate",
+    "q_perplexity_bucket",
 ]
 
 
