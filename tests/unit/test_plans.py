@@ -91,3 +91,26 @@ def test_skinny_admit_windows_never_shuffle_full_rows(spark):
 
     for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p):
         assert "url#" not in m.group(1).replace("url_key#", "k#"), m.group(1)
+
+
+def test_decontaminate_broadcasts_bounded_probe_set(spark):
+    """The probe side is benchmark-sized (bounded), so it must come in
+    as a broadcast; the training side must never be broadcast."""
+    p = _plan(catalog.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_perplexity_bucket_has_no_single_partition_window(spark):
+    """The tercile cut must ride the distributed rank
+    (assign_global_seq), never a global ntile: every Window in the
+    plan must have a partition spec, and there must be no
+    SinglePartition exchange feeding a Window."""
+    p = _plan(catalog.q_perplexity_bucket(spark, SF))
+    assert "ntile" not in p.lower()
+    for chunk in p.split("Window")[1:]:
+        head = chunk.split("\n")[0]
+        # formatted plans render the spec as
+        # [..., partition_spec, order_spec]; a global window renders
+        # an empty partition list
+        assert "SinglePartition" not in head
+    assert "SinglePartition" not in p
