@@ -123,3 +123,55 @@ def test_dc_prediction_across_blocks():
     img[:, 8:] = 255
     out = jpeg.jpeg_decode(jpeg.jpeg_encode(img))
     assert codec.psnr(img, out) >= 40.0
+
+
+# ----------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    by=st.integers(min_value=1, max_value=4),
+    bx=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    quality=st.integers(min_value=98, max_value=100),
+)
+def test_property_roundtrip_invariant(by, bx, seed, quality):
+    """For any block-aligned dims and seed, at the default quality or
+    above (the >=40 dB floor is a property of DEFAULT_QUALITY=98 —
+    q96 measures ~37.9 dB on noise): decode of encode keeps shape,
+    dtype, and the invariant; below q99 the stream stays genuinely
+    lossy on noise input."""
+    img = _noise((8 * by, 8 * bx), seed=seed)
+    blob = jpeg.jpeg_encode(img, quality)
+    out = jpeg.jpeg_decode(blob)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    p = codec.psnr(img, out)
+    assert p >= 40.0
+    if quality < 99 and min(by, bx) >= 2:
+        assert p < float("inf")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    cut=st.integers(min_value=2, max_value=4000),
+    flip=st.integers(min_value=2, max_value=4000),
+    val=st.integers(min_value=0, max_value=255),
+)
+def test_property_corruption_never_hangs_or_crashes(cut, flip, val):
+    """Arbitrary truncation or byte-flips must yield a loud codec
+    error (or, for flips that only touch coefficients, a decodable
+    image) — never a hang, wrong-shape array, or non-codec exception."""
+    blob = jpeg.jpeg_encode(_noise((32, 32), seed=1))
+    for attack in (blob[: cut % len(blob)],
+                   blob[: flip % len(blob)] + bytes([val]) + blob[flip % len(blob) + 1:]):
+        try:
+            out = jpeg.jpeg_decode(attack)
+        except (ValueError, NotImplementedError, struct.error):
+            continue
+        assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+
+
+import struct  # noqa: E402  (used by the corruption property)

@@ -473,12 +473,16 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     pos = 2
     scan: bytes | None = None
     while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker segment")
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at byte {pos}")
         tag = data[pos + 1]
         if tag == 0xD9:  # EOI
             break
         (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if ln < 2 or pos + 2 + ln > len(data):
+            raise ValueError("marker segment length overruns the stream")
         body = data[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
         if tag == 0xDB:  # DQT (may hold several tables)
@@ -487,6 +491,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 pq, tq = body[bp] >> 4, body[bp] & 0xF
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables")
+                if bp + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 tbl = np.frombuffer(
                     body[bp + 1 : bp + 65], dtype=np.uint8
                 ).astype(np.float64)
@@ -495,18 +501,30 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif tag == 0xC4:  # DHT (may hold several tables)
             bp = 0
             while bp < len(body):
+                if bp + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
                 tc, th = body[bp] >> 4, body[bp] & 0xF
                 bits = list(body[bp + 1 : bp + 17])
                 nv = sum(bits)
+                if bp + 17 + nv > len(body):
+                    raise ValueError("truncated DHT value list")
                 vals = list(body[bp + 17 : bp + 17 + nv])
                 (dc_luts if tc == 0 else ac_luts)[th] = _decode_lut(
                     bits, vals
                 )
                 bp += 17 + nv
         elif tag == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated SOF0 segment")
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8 or nc != 3:
                 raise NotImplementedError("baseline 8-bit 3-component only")
+            if h == 0 or w == 0 or h % 8 or w % 8:
+                raise NotImplementedError(
+                    "dims must be non-zero multiples of 8 (no edge blocks)"
+                )
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 component list")
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 if samp != 0x11:
@@ -517,7 +535,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif tag == 0xDD:
             raise NotImplementedError("restart intervals")
         elif tag == 0xDA:  # SOS: entropy data follows until EOI
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated SOS segment")
             ns = body[0]
+            if ns != 3:
+                raise NotImplementedError("single interleaved 3-component scan only")
             for i in range(ns):
                 cid, tt = body[1 + 2 * i : 3 + 2 * i]
                 comp_tables[cid] = (tt >> 4, tt & 0xF)
@@ -532,8 +554,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             scan = raw.replace(b"\xff\x00", b"\xff")
             break
         # APPn / COM / others: skipped
-    if scan is None or not comp_order:
+    if scan is None or not comp_order or h == 0:
         raise ValueError("no scan data")
+    for cid in comp_order:
+        if cid not in comp_q:
+            raise ValueError(f"scan component {cid} missing from SOF0")
+        td, ta = comp_tables[cid]
+        if td not in dc_luts or ta not in ac_luts or comp_q[cid] not in qtabs:
+            raise ValueError("scan references an undefined DQT/DHT table")
 
     br = _BitReader(scan)
     read, read_code = br.read, br.read_code
