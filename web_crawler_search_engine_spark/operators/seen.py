@@ -240,11 +240,19 @@ def anti_join_via_bloom(
     ``broadcast_limit`` falls back to a plain shuffle anti-join
     (correct either way — the Bloom is only an accelerator).
 
-    Returns (unseen, handle): the batch and the maybe-set are
-    persisted so the maybe-count action and the downstream passes
-    share one computation (the r1 version recomputed the batch —
+    Returns (unseen, handle): the batch, the maybe-set, AND the unseen
+    result are persisted so the maybe-count action and the downstream
+    passes share one computation (the r1 version recomputed the batch —
     judge finding #4); the caller unpersists the handle after its
     round commit.
+
+    Persisting ``unseen`` itself (r3) matters for scaling, not just
+    wall-time: every downstream action over an un-persisted unseen
+    re-executes the matched-set broadcast anti-join, and a broadcast
+    build is a DRIVER-SERIAL step — a fixed per-pass cost no executor
+    count shrinks. The seq-assign makes three passes; at 24M/8 cores
+    that serial tax was the single flattest phase in the N-vs-4N
+    profile (assign_seq c8 time invariant across host windows).
     """
     batch = new_df.persist()
     maybe = maybe_seen_keys(
@@ -269,4 +277,6 @@ def anti_join_via_bloom(
         )
         handle._dfs.append(matched)
         unseen = batch.join(F.broadcast(matched), key_col, "left_anti")
+    unseen = unseen.persist()
+    handle._dfs.append(unseen)
     return unseen, handle
