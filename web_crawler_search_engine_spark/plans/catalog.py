@@ -3164,15 +3164,24 @@ def _pr_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
         ).alias("h"),
     )
     # map the hash draw onto the RANK of the doc id (doc ids are not
-    # dense: clones live at +100000), via a sorted id rank join
-    w = Window.orderBy("doc_id")
-    ranked = ids.select(
-        F.col("doc_id").alias("dst"), (F.row_number().over(w) - 1).alias("r")
+    # dense: clones live at +100000), via a sorted id rank join. The
+    # rank is the engine's distributed dense sequence (range-partition
+    # + prefix offsets), NOT a global unpartitioned window — a
+    # single-partition row_number over the id universe is exactly the
+    # shape that dies at web scale.
+    from ..operators.scheduler import assign_global_seq
+
+    ranked = assign_global_seq(ids, ["doc_id"], base=0, seq_col="r").select(
+        F.col("doc_id").alias("dst"), "r"
     )
-    return (
-        edges.join(ranked, edges.h % n == ranked.r).select("src", "dst"),
-        n,
+    # The edge set feeds every PageRank iteration: persist it so the
+    # explode + rank join is paid once, not once per iteration.
+    edges = (
+        edges.join(ranked, edges.h % n == ranked.r)
+        .select("src", "dst")
+        .persist()
     )
+    return edges, n
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3211,7 +3220,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr("85 * coalesce(s, cast(0 as bigint)) div 100")
             ).cast("long").alias("rank"),
         )
-    return ranks.select("doc_id", "rank")
+    # Materialize the fixed-iteration result once, then release the
+    # persisted edge set (mirrors _min_label_clusters' discipline).
+    ranks = ranks.select("doc_id", "rank").localCheckpoint()
+    edges.unpersist()
+    return ranks
 
 
 def _pagerank_sql() -> str:
