@@ -251,7 +251,7 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     # persisted: consumed by the count here AND the filter update below
     # (the real engine reads the committed parquet delta instead)
     new_links = assign_seq_within_parents(
-        unseen, "parent_seq", "pos", base=n, key_col="url_key"
+        unseen, "parent_seq", "pos", base=n
     ).persist(StorageLevel.MEMORY_ONLY)
     n_new = new_links.count()
     _phase("assign_seq", t1)
@@ -373,7 +373,7 @@ def bench_delta_rehearsal(
     _phase("bloom_probe_maybe_count", t0)
     t0 = time.monotonic()
     new_links = assign_seq_within_parents(
-        unseen, "parent_seq", "pos", base=n, key_col="url_key"
+        unseen, "parent_seq", "pos", base=n
     ).persist(StorageLevel.MEMORY_ONLY)
     n_new = new_links.count()
     _phase("assign_seq", t0)

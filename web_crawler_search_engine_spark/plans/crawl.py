@@ -461,7 +461,6 @@ class CrawlJob:
                 "pos",
                 base=base,
                 max_driver_parents=cfg.seq_driver_parent_limit,
-                key_col="url_key",  # unique post-dedup: skinny rank
             )
             .select(
                 "url_key",
