@@ -148,30 +148,24 @@ def _as_links(df: DataFrame, n_parents: int):
     )
 
 
-def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
-    """One steady-state frontier update at size n: politeness admission
-    + Bloom-probed seen anti-join + discovery_seq assignment +
-    incremental seen-filter update, timed end-to-end.
-
-    r2/r3 engine: the seen filter is the JVM (word_id, word) Bloom
-    table (operators/seen.py) — probe = one partition-aligned shuffle
-    join of skinny (key, word_id, bit) rows (no broadcast of the
-    filter), update = co-partitioned full-outer bit_or merge;
-    discovery_seq ranks a SKINNY (key, parent, pos) projection and
-    broadcast-joins the (key, seq) map back (r3 — the wide link rows
-    are never shuffled or sorted). Zero Python stages in the measured
-    round. The ledger filter is PRE-built (P8: maintained
-    incrementally round over round, never rebuilt from the full
-    ledger), exactly like the ledger itself."""
+def setup_frontier_state(spark: SparkSession, n: int) -> dict:
+    """Build the standing state one frontier round runs against:
+    the pending cache, the seen-key ledger cache, and the two-layer
+    Bloom word filter (BASE + ACCUM). Pure setup — none of it is part
+    of the measured round, and rounds never mutate it (the per-round
+    filter merge materializes its output and discards it), so ONE
+    setup serves any number of measured rounds in the same JVM."""
     from web_crawler_search_engine_spark.operators import seen as seen_ops
-    from web_crawler_search_engine_spark.operators.scheduler import (
-        admit,
-        assign_seq_within_parents,
-    )
 
     from pyspark.storagelevel import StorageLevel
 
     hosts = max(int(n ** 0.5) // 4, 16)
+    phases: dict[str, float] = {}
+
+    def _phase(name: str, t_start: float) -> None:
+        phases[name] = round(time.monotonic() - t_start, 3)
+        print(f"[bench] {name}: {phases[name]:.1f}s", file=sys.stderr)
+
     # MEMORY_ONLY: the columnar cache's dictionary compression is
     # pathological on high-cardinality URL strings (30x slower build) —
     # the session also sets inMemoryColumnarStorage.compressed=false
@@ -183,12 +177,6 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
         .select("url_key")
         .persist(StorageLevel.MEMORY_ONLY)
     )
-    phases: dict[str, float] = {}
-
-    def _phase(name: str, t_start: float) -> None:
-        phases[name] = round(time.monotonic() - t_start, 3)
-        print(f"[bench] {name}: {phases[name]:.1f}s", file=sys.stderr)
-
     t0 = time.monotonic()
     _run_to_completion(pending)
     _run_to_completion(seen)
@@ -213,6 +201,55 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     _run_to_completion(words)
     _run_to_completion(accum)
     _phase("ledger_filter_build_one_time", t0)
+    return {
+        "n": n,
+        "hosts": hosts,
+        "m_bits": m_bits,
+        "pending": pending,
+        "seen": seen,
+        "words": words,
+        "accum": accum,
+        "setup_phases": phases,
+    }
+
+
+def teardown_frontier_state(state: dict) -> None:
+    for k in ("pending", "seen", "words", "accum"):
+        state[k].unpersist()
+
+
+def run_frontier_round(spark: SparkSession, state: dict) -> dict:
+    """One steady-state frontier update against a prepared state:
+    politeness admission + Bloom-probed seen anti-join + discovery_seq
+    assignment + incremental seen-filter update, timed end-to-end.
+
+    r2/r3 engine: the seen filter is the JVM (word_id, word) Bloom
+    table (operators/seen.py) — probe = one partition-aligned shuffle
+    join of skinny (key, word_id, bit) rows (no broadcast of the
+    filter), update = co-partitioned full-outer bit_or merge;
+    discovery_seq windows the full link rows over per-parent
+    broadcast offsets (r3.3 — the A/B-proven shape). Zero Python
+    stages in the measured round. The ledger filter is PRE-built (P8:
+    maintained incrementally round over round, never rebuilt from the
+    full ledger), exactly like the ledger itself."""
+    from web_crawler_search_engine_spark.operators import seen as seen_ops
+    from web_crawler_search_engine_spark.operators.scheduler import (
+        admit,
+        assign_seq_within_parents,
+    )
+
+    from pyspark.storagelevel import StorageLevel
+
+    n = state["n"]
+    hosts = state["hosts"]
+    m_bits = state["m_bits"]
+    pending, seen = state["pending"], state["seen"]
+    words, accum = state["words"], state["accum"]
+    phases: dict[str, float] = dict(state["setup_phases"])
+
+    def _phase(name: str, t_start: float) -> None:
+        phases[name] = round(time.monotonic() - t_start, 3)
+        print(f"[bench] {name}: {phases[name]:.1f}s", file=sys.stderr)
 
     t0 = time.monotonic()
     # politeness admission: quota 8/host/round, salted two-phase top-K
@@ -274,10 +311,6 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
     )
     t_update += phases["filter_compact_amortized"]
 
-    pending.unpersist()
-    seen.unpersist()
-    words.unpersist()
-    accum.unpersist()
     new_links.unpersist()
     probe_handle.unpersist()
     total = t_admit + t_update
@@ -292,6 +325,15 @@ def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
         "frontier_sched_sec": round(total, 3),
         "urls_scheduled_per_sec": round((n_admitted + n_new) / total, 1),
     }
+
+
+def bench_frontier_round(spark: SparkSession, n: int, cpus: int) -> dict:
+    """Back-compat single-shot: fresh state + one measured round."""
+    state = setup_frontier_state(spark, n)
+    try:
+        return run_frontier_round(spark, state)
+    finally:
+        teardown_frontier_state(state)
 
 
 def bench_delta_rehearsal(
@@ -595,7 +637,12 @@ def main() -> None:
         print(json.dumps(out))
         return
 
-    reps = [bench_frontier_round(spark, n, cpus) for _ in range(n_reps)]
+    # one setup serves all reps (rounds never mutate the standing
+    # state); min-of-reps measures the ROUND, and re-paying the cache
+    # build per rep only added wall time, not information
+    state = setup_frontier_state(spark, n)
+    reps = [run_frontier_round(spark, state) for _ in range(n_reps)]
+    teardown_frontier_state(state)
     frontier = _min_rep(reps)
 
     import __spark_entry__ as entrymod
