@@ -235,7 +235,7 @@ def run_frontier_round(spark: SparkSession, state: dict) -> dict:
     from web_crawler_search_engine_spark.operators import seen as seen_ops
     from web_crawler_search_engine_spark.operators.scheduler import (
         admit,
-        assign_seq_within_parents,
+        assign_seq_within_parents_cached,
     )
 
     from pyspark.storagelevel import StorageLevel
@@ -280,17 +280,23 @@ def run_frontier_round(spark: SparkSession, state: dict) -> dict:
     )
     links = fresh.unionByName(dupes)
     t1 = time.monotonic()
+    # persist_unseen=False: the cached seq-assign ranks straight
+    # through the anti-join and caches the ranked rows — the round's
+    # single wide materialization (r3.3)
     unseen, probe_handle = seen_ops.anti_join_via_bloom(
-        links, seen, words, "url_key", m_bits=m_bits, delta_words=accum
+        links,
+        seen,
+        words,
+        "url_key",
+        m_bits=m_bits,
+        delta_words=accum,
+        persist_unseen=False,
     )
     _phase("bloom_probe_maybe_count", t1)
     t1 = time.monotonic()
-    # persisted: consumed by the count here AND the filter update below
-    # (the real engine reads the committed parquet delta instead)
-    new_links = assign_seq_within_parents(
+    new_links, seq_cache, n_new = assign_seq_within_parents_cached(
         unseen, "parent_seq", "pos", base=n
-    ).persist(StorageLevel.MEMORY_ONLY)
-    n_new = new_links.count()
+    )
     _phase("assign_seq", t1)
     t1 = time.monotonic()
     delta_words = seen_ops.bloom_word_updates(
@@ -311,7 +317,7 @@ def run_frontier_round(spark: SparkSession, state: dict) -> dict:
     )
     t_update += phases["filter_compact_amortized"]
 
-    new_links.unpersist()
+    seq_cache.unpersist()
     probe_handle.unpersist()
     total = t_admit + t_update
     return {
@@ -351,7 +357,7 @@ def bench_delta_rehearsal(
     are not part of the O(delta) claim being evidenced."""
     from web_crawler_search_engine_spark.operators import seen as seen_ops
     from web_crawler_search_engine_spark.operators.scheduler import (
-        assign_seq_within_parents,
+        assign_seq_within_parents_cached,
     )
 
     from pyspark.storagelevel import StorageLevel
@@ -410,14 +416,19 @@ def bench_delta_rehearsal(
 
     t0 = time.monotonic()
     unseen, probe_handle = seen_ops.anti_join_via_bloom(
-        links, seen, words, "url_key", m_bits=m_bits, delta_words=accum
+        links,
+        seen,
+        words,
+        "url_key",
+        m_bits=m_bits,
+        delta_words=accum,
+        persist_unseen=False,
     )
     _phase("bloom_probe_maybe_count", t0)
     t0 = time.monotonic()
-    new_links = assign_seq_within_parents(
+    new_links, seq_cache, n_new = assign_seq_within_parents_cached(
         unseen, "parent_seq", "pos", base=n
-    ).persist(StorageLevel.MEMORY_ONLY)
-    n_new = new_links.count()
+    )
     _phase("assign_seq", t0)
     t0 = time.monotonic()
     delta_words = seen_ops.bloom_word_updates(
@@ -441,7 +452,7 @@ def bench_delta_rehearsal(
     seen.unpersist()
     words.unpersist()
     accum.unpersist()
-    new_links.unpersist()
+    seq_cache.unpersist()
     probe_handle.unpersist()
     return {
         "frontier_urls": n,

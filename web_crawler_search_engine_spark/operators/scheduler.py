@@ -207,3 +207,69 @@ def assign_seq_within_parents(
         )
         .drop("_off")
     )
+
+
+def assign_seq_within_parents_cached(
+    df: DataFrame,
+    parent_col: str,
+    pos_col: str,
+    base: int,
+    seq_col: str = "discovery_seq",
+    max_driver_parents: int = 200_000,
+) -> tuple[DataFrame, DataFrame, int]:
+    """assign_seq_within_parents for a LAZY input whose recompute is
+    expensive (the post-probe unseen batch): rank first, cache the
+    ranked rows, and derive everything else from that one cache.
+
+    assign_seq_within_parents needs two passes over its input (the
+    per-parent counts, then the window), so callers fed it a persisted
+    DataFrame — which cost a full extra wide-row cache write+read per
+    round on top of the window's own materialization (at 24M/4.8M the
+    round cache-wrote the wide link rows three times: batch, unseen,
+    new_links — the measured bandwidth hog on the N-vs-4N profile).
+    Here the window runs DIRECTLY over the lazy input (its shuffle is
+    the single wide materialization), `_rk` (rank within parent) is
+    cached with the rows, and the per-parent counts fall out of the
+    cache as max(_rk) — so the returned ``new_links`` is a zero-
+    shuffle projection (tiny broadcast offset join + one add) that
+    every downstream consumer reads straight off the cache.
+
+    Returns (new_links, cache, n_rows): caller unpersists ``cache``
+    after its round commit; ``n_rows`` is exact (the offset prefix
+    sum), saving the count() action callers used to pay.
+
+    Values are identical to assign_seq_within_parents (same total
+    order, same prefix sums). Above ``max_driver_parents`` parents the
+    fallback ranks the cached rows with the fully distributed
+    assign_global_seq — the wasted _rk column is dropped; values
+    again identical.
+    """
+    spark = df.sparkSession
+    w = Window.partitionBy(parent_col).orderBy(pos_col)
+    ranked = df.withColumn("_rk", F.row_number().over(w)).persist()
+    grouped = ranked.groupBy(parent_col).agg(F.max("_rk").alias("_n"))
+    head = grouped.take(max_driver_parents + 1)
+    if len(head) > max_driver_parents:
+        out = assign_global_seq(
+            ranked.drop("_rk"), [parent_col, pos_col], base, seq_col
+        )
+        return out, ranked, out.count()
+    cnts = sorted(head, key=lambda r: r[parent_col])
+    if not cnts:
+        return (
+            df.withColumn(seq_col, F.lit(base).cast("long")),
+            ranked,
+            0,
+        )
+    acc = base
+    offs = []
+    for r in cnts:
+        offs.append((r[parent_col], acc))
+        acc += r["_n"]
+    odf = spark.createDataFrame(offs, f"{parent_col} long, _off long")
+    new_links = (
+        ranked.join(F.broadcast(odf), parent_col)
+        .withColumn(seq_col, (F.col("_off") + F.col("_rk") - 1).cast("long"))
+        .drop("_off", "_rk")
+    )
+    return new_links, ranked, acc - base

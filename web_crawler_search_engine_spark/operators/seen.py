@@ -228,6 +228,7 @@ def anti_join_via_bloom(
     k: int = 3,
     broadcast_limit: int = 8_000_000,
     delta_words: DataFrame | None = None,
+    persist_unseen: bool = True,
 ) -> tuple[DataFrame, ProbeHandle]:
     """Rows of ``new_df`` whose key is NOT in ``seen_keys``.
 
@@ -253,6 +254,14 @@ def anti_join_via_bloom(
     count shrinks. The seq-assign makes three passes; at 24M/8 cores
     that serial tax was the single flattest phase in the N-vs-4N
     profile (assign_seq c8 time invariant across host windows).
+
+    ``persist_unseen=False`` (r3.3) is for callers that make exactly
+    ONE pass over ``unseen`` and cache its derivative instead —
+    assign_seq_within_parents_cached ranks straight through the
+    anti-join and caches the ranked rows, so a second wide-row cache
+    here would only double the cache-write bandwidth. The matched-set
+    broadcast then builds exactly once (during the single
+    materialization), keeping the r3 serial-tax fix.
     """
     batch = new_df.persist()
     maybe = maybe_seen_keys(
@@ -277,6 +286,7 @@ def anti_join_via_bloom(
         )
         handle._dfs.append(matched)
         unseen = batch.join(F.broadcast(matched), key_col, "left_anti")
-    unseen = unseen.persist()
-    handle._dfs.append(unseen)
+    if persist_unseen:
+        unseen = unseen.persist()
+        handle._dfs.append(unseen)
     return unseen, handle

@@ -67,7 +67,7 @@ from ..operators import seen as seen_ops
 from ..operators.scheduler import (
     admit,
     assign_global_seq,
-    assign_seq_within_parents,
+    assign_seq_within_parents_cached,
     politeness_quota,
 )
 from ..schemas import FRONTIER
@@ -434,6 +434,10 @@ class CrawlJob:
         probe_handle = None  # DataFrame or seen_ops.ProbeHandle
         if cfg.use_bloom:
             self._ensure_filter()
+            # persist_unseen=False: the cached seq-assign below ranks
+            # straight through the anti-join and caches the RANKED
+            # rows — caching unseen too would double the wide-row
+            # cache-write bandwidth per round (r3.3)
             unseen, probe_handle = seen_ops.anti_join_via_bloom(
                 batch_unique,
                 seen_keys,
@@ -442,10 +446,11 @@ class CrawlJob:
                 m_bits=self._m_bits,
                 k=cfg.bloom_k,
                 delta_words=self._delta_words,
+                persist_unseen=False,
             )
         else:
-            unseen = batch_unique.join(seen_keys, "url_key", "left_anti").persist()
-            probe_handle = unseen
+            unseen = batch_unique.join(seen_keys, "url_key", "left_anti")
+            probe_handle = None
         if self._base is None:
             mx = self.frontier.agg(F.max("discovery_seq")).collect()[0][0]
             self._base = (mx if mx is not None else -1) + 1
@@ -453,27 +458,34 @@ class CrawlJob:
         # parents are this round's admitted pages (budget-bounded) =>
         # the driver prefix-sum path; above seq_driver_parent_limit
         # parents it switches to the fully distributed range path.
-        # Values identical to the global dense rank either way.
-        new_links = (
-            assign_seq_within_parents(
-                unseen,
-                "parent_seq",
-                "pos",
-                base=base,
-                max_driver_parents=cfg.seq_driver_parent_limit,
-            )
-            .select(
+        # Values identical to the global dense rank either way. The
+        # non-seq columns are computed BEFORE the cached ranking so
+        # every downstream consumer (pending union, log delta,
+        # metrics, bloom delta) reads finished rows off ONE cache.
+        new_links, seq_cache, n_new = assign_seq_within_parents_cached(
+            unseen.select(
                 "url_key",
                 "url",
                 U.netloc_of(F.col("url")).alias("host"),
-                F.col("depth").cast("int"),
-                "discovery_seq",
-                F.lit("pending").alias("status"),
-                F.lit(0).cast("long").alias("length"),
-                F.lit(r).alias("round"),
-                F.lit(None).cast("boolean").alias("allowed"),
-            )
-            .persist()  # consumed by pending, the log delta, and metrics
+                F.col("depth").cast("int").alias("depth"),
+                "parent_seq",
+                "pos",
+            ),
+            "parent_seq",
+            "pos",
+            base=base,
+            max_driver_parents=cfg.seq_driver_parent_limit,
+        )
+        new_links = new_links.select(
+            "url_key",
+            "url",
+            "host",
+            "depth",
+            "discovery_seq",
+            F.lit("pending").alias("status"),
+            F.lit(0).cast("long").alias("length"),
+            F.lit(r).alias("round"),
+            F.lit(None).cast("boolean").alias("allowed"),
         )
 
         # 7. token stats delta (A1-A3) + page lengths
@@ -565,8 +577,8 @@ class CrawlJob:
             F.lit(r).alias("round"), "host", "url", "discovery_seq"
         )
 
-        # Bloom word delta for this round, computed from the persisted
-        # new_links BEFORE the commit so it publishes in the SAME
+        # Bloom word delta for this round, computed off the seq cache
+        # BEFORE the commit so it publishes in the SAME
         # manifest as the frontier_log delta (ADVICE r2: a second
         # commit left a crash window in which a valid round-r manifest
         # carried a seen_bloom log/meta missing round-r keys — Bloom
@@ -576,7 +588,8 @@ class CrawlJob:
         # from-ledger rebuild) REPLACES it wholesale via log_compact in
         # that same atomic commit instead of appending a mixed-m_bits
         # delta.
-        n_new = new_links.count()  # cached; also equals metrics new_urls
+        # n_new came exact from the seq-assign's offset prefix sum —
+        # no count() action needed; it equals metrics new_urls
         commit_appends = {
             "frontier_log": log_delta,
             "token_log": round_tokens,
@@ -677,7 +690,7 @@ class CrawlJob:
                     else seen_ops.or_words(self._delta_words, round_delta)
                 ).localCheckpoint(eager=False)
 
-        for h in (admitted, fetched, new_links, probe_handle, pending_eval):
+        for h in (admitted, fetched, seq_cache, probe_handle, pending_eval):
             if h is not None:
                 h.unpersist()
 
