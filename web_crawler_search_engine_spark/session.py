@@ -42,6 +42,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # bucketed-sorted scans (sources/ledger.py) report their sort
+        # order when each bucket holds one file — post-compaction the
+        # exact-backstop cutover then sort-merges the ledger with no
+        # Exchange AND no Sort on the ledger side. Inert for every
+        # non-bucketed read (it only adds a files-per-bucket check on
+        # bucketed scans).
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
