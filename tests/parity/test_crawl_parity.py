@@ -34,7 +34,7 @@ def round_oracle(world):
     return sim.run(world.seeds)
 
 
-def _make_job(spark, world, tmp, use_bloom=True):
+def _make_job(spark, world, tmp, use_bloom=True, **cfg_kw):
     # tiny worlds: shrink physical layout knobs (results are
     # layout-independent — salting/bucketing only affect partitioning)
     cfg = CrawlConfig(
@@ -45,6 +45,7 @@ def _make_job(spark, world, tmp, use_bloom=True):
         use_bloom=use_bloom,
         salt_buckets=4,
         host_buckets=4,
+        **cfg_kw,
     )
     return CrawlJob(
         spark,
@@ -110,6 +111,108 @@ def test_bloom_off_identical(spark, world, tmp_path_factory, engine_run):
     job.run(max_rounds=60)
     assert job.final_state() == engine_run.final_state()
     assert job.admitted_sequences() == engine_run.admitted_sequences()
+
+
+def test_bucketed_ledger_cutover_identical(
+    spark, world, tmp_path_factory, engine_run
+):
+    """Opt-in bucketed seen ledger (sources/ledger.py) with
+    bloom_broadcast_limit=0: EVERY round takes the cutover (plain
+    anti-join) path against the bucketed table — results must stay
+    bit-for-bit identical, and compact_every=2 exercises the
+    versioned ledger compaction (attach → append → fold → retire)
+    several times mid-crawl."""
+    job = _make_job(
+        spark,
+        world,
+        tmp_path_factory.mktemp("ckpt_bl"),
+        seen_ledger_buckets=4,
+        bloom_broadcast_limit=0,
+        compact_every=2,
+    )
+    job.start(world.seeds)
+    job.run(max_rounds=60)
+    assert job.final_state() == engine_run.final_state()
+    assert job.admitted_sequences() == engine_run.admitted_sequences()
+    # the ledger's committed key set IS the log's key set
+    ledger_keys = {r["url_key"] for r in job._seen_keys().distinct().collect()}
+    log_keys = {
+        r["url_key"] for r in job._log().select("url_key").distinct().collect()
+    }
+    assert ledger_keys == log_keys
+    # plan lock (same discipline as tests/unit/test_bucketed_ledger):
+    # the cutover anti-join scans the ledger bucketed, one Exchange
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        import re
+
+        from pyspark.sql import functions as F
+
+        probe = spark.range(0, 100).select(F.xxhash64("id").alias("url_key"))
+        j = probe.join(job._seen_keys(), "url_key", "left_anti")
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "Bucketed: true" in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_ledger_resume_fresh_catalog(
+    spark, world, tmp_path_factory, engine_run
+):
+    """Kill mid-crawl, then resume in a 'fresh driver': the session
+    catalog entry is dropped (files stay — external table), so
+    resume must re-attach the manifest's live ledger version via DDL
+    and continue bit-for-bit."""
+    ckpt = tmp_path_factory.mktemp("ckpt_bl_resume")
+    job = _make_job(
+        spark,
+        world,
+        ckpt,
+        seen_ledger_buckets=4,
+        bloom_broadcast_limit=0,
+        compact_every=2,
+    )
+    job.start(world.seeds)
+    job.run_round()
+    job.run_round()
+    # simulate a driver restart: catalog metadata is gone
+    for v in range(5):
+        spark.sql(f"DROP TABLE IF EXISTS {job._ledger_table(v)}")
+    job2 = _make_job(
+        spark,
+        world,
+        ckpt,
+        seen_ledger_buckets=4,
+        bloom_broadcast_limit=0,
+        compact_every=2,
+    )
+    assert job2.resume() == 2
+    job2.run(max_rounds=60)
+    assert job2.final_state() == engine_run.final_state()
+    assert job2.admitted_sequences() == engine_run.admitted_sequences()
+
+
+def test_bucketed_ledger_enabled_on_legacy_checkpoint(
+    spark, world, tmp_path_factory, engine_run
+):
+    """A checkpoint written WITHOUT the bucketed ledger, resumed with
+    the mode newly enabled: the first round seeds version 0 from the
+    authoritative frontier log, then proceeds identically."""
+    ckpt = tmp_path_factory.mktemp("ckpt_bl_legacy")
+    job = _make_job(spark, world, ckpt)
+    job.start(world.seeds)
+    job.run_round()
+    job2 = _make_job(
+        spark, world, ckpt, seen_ledger_buckets=4, bloom_broadcast_limit=0
+    )
+    assert job2.resume() == 1
+    job2.run(max_rounds=60)
+    assert job2.final_state() == engine_run.final_state()
+    assert job2.admitted_sequences() == engine_run.admitted_sequences()
 
 
 def test_resume_mid_crawl_equals_uninterrupted(

@@ -54,8 +54,10 @@ Scale design (the 100 TB / 10^10-URL point — what changed in r2):
 
 from __future__ import annotations
 
+import hashlib
 import tempfile
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -72,6 +74,13 @@ from ..operators.scheduler import (
 )
 from ..schemas import FRONTIER
 from ..sources.checkpoints import KEY_BLOOM_OPTIONS, SnapshotStore
+from ..sources.ledger import (
+    _fs,
+    _jpath,
+    append_ledger_delta,
+    ensure_ledger_table,
+    write_bucketed_ledger,
+)
 
 
 @dataclass
@@ -91,6 +100,16 @@ class CrawlConfig:
     # assignment switches from the driver prefix-sum to the fully
     # distributed range-partitioned path (operators/scheduler.py)
     seq_driver_parent_limit: int = 200_000
+    # maybe-set size above which the exact backstop abandons the
+    # broadcast semi scan for a plain anti-join (operators/seen.py)
+    bloom_broadcast_limit: int = 8_000_000
+    # opt-in: ALSO maintain the seen-key set as a bucketed+sorted
+    # catalog table (sources/ledger.py), so the non-broadcast seen
+    # joins (use_bloom=False, and the Bloom cutover path) shuffle
+    # only the batch side — the ledger scans in its bucket layout at
+    # any size. Results are bit-identical either way (parity-tested);
+    # this only changes the physical plan of the X1 joins.
+    seen_ledger_buckets: int | None = None
 
 
 _FRONTIER_COLS = [f.name for f in FRONTIER.fields] + ["allowed"]
@@ -144,10 +163,79 @@ class CrawlJob:
         self._delta_words: DataFrame | None = None
         self._m_bits: int | None = None
         self._n_seen: int = 0
+        # bucketed seen-ledger (opt-in): catalog id derived from the
+        # checkpoint dir so concurrent jobs in one session never
+        # collide; version = the compaction generation, activated
+        # lazily (None => attach/seed from the manifest meta)
+        self._ledger_id = hashlib.md5(str(ckpt).encode()).hexdigest()[:12]
+        self._ledger_version: int | None = None
 
     # -- views over the append-only log --------------------------------
     def _log(self) -> DataFrame:
         return self.store.load_log("frontier_log")
+
+    # -- bucketed seen-ledger (sources/ledger.py) ----------------------
+    def _ledger_table(self, version: int) -> str:
+        return f"seen_ledger_{self._ledger_id}_v{version}"
+
+    def _ledger_path(self, version: int) -> str:
+        return str(Path(self.store.root) / "seen_ledger" / f"v{version}")
+
+    def _ensure_ledger(self) -> None:
+        """Attach (resume) or seed the bucketed ledger table.
+
+        The active version is whatever the committed manifest meta
+        says; the catalog entry is metadata-only and rebuilt per
+        session (on a cluster the metastore/Iceberg catalog persists
+        it instead). A checkpoint that predates the mode is seeded
+        from the authoritative frontier log — O(frontier) once, same
+        cost class as the Bloom from-ledger rebuild."""
+        buckets = self.config.seen_ledger_buckets
+        if self._ledger_version is not None:
+            return
+        meta = (self.store.manifest() or {}).get("meta", {}).get(
+            "seen_ledger", {}
+        )
+        v = meta.get("version")
+        if v is None:
+            v = 0
+            keys = (
+                self._log()
+                .select("url_key")
+                .distinct()
+                .withColumn("round", F.lit(self.round).cast("int"))
+            )
+            write_bucketed_ledger(
+                keys,
+                self._ledger_table(0),
+                self._ledger_path(0),
+                buckets=buckets,
+                mode="overwrite",
+            )
+        else:
+            ensure_ledger_table(
+                self.spark,
+                self._ledger_table(v),
+                self._ledger_path(v),
+                buckets=meta.get("buckets", buckets),
+            )
+        self._ledger_version = v
+
+    def _seen_keys(self) -> DataFrame:
+        """The seen set for this round's X1 joins. With the bucketed
+        ledger on, rows are gated on the COMMITTED round: an append
+        that landed without its manifest commit (crash window) is
+        invisible, and a cache-evicted recompute of the anti-join
+        still reads exactly the pre-round key set (the gate literal
+        is frozen into the plan)."""
+        if self.config.seen_ledger_buckets:
+            self._ensure_ledger()
+            return (
+                self.spark.table(self._ledger_table(self._ledger_version))
+                .where(F.col("round") <= F.lit(self.round))
+                .select("url_key")
+            )
+        return self._log().select("url_key")
 
     @property
     def frontier(self) -> DataFrame:
@@ -222,11 +310,33 @@ class CrawlJob:
             [], "host string, fetched boolean, rules string, crawl_delay double, fetch_round int"
         )
         empty_stats = self.spark.createDataFrame([], "token string, count long")
+        ledger_meta = None
+        if self.config.seen_ledger_buckets:
+            # seed version 0 BEFORE the commit that publishes it: the
+            # round gate makes a crash in between invisible (rows are
+            # only readable once the manifest says round >= 0)
+            write_bucketed_ledger(
+                frontier.select(
+                    "url_key", F.lit(0).cast("int").alias("round")
+                ),
+                self._ledger_table(0),
+                self._ledger_path(0),
+                buckets=self.config.seen_ledger_buckets,
+                mode="overwrite",
+            )
+            self._ledger_version = 0
+            ledger_meta = {
+                "seen_ledger": {
+                    "version": 0,
+                    "buckets": self.config.seen_ledger_buckets,
+                }
+            }
         self.store.commit(
             0,
             tables={"pending": frontier, "robots": empty_robots},
             log_appends={"frontier_log": frontier, "token_log": empty_stats},
             options={"frontier_log": KEY_BLOOM_OPTIONS, "pending": KEY_BLOOM_OPTIONS},
+            meta=ledger_meta,
         )
         self.pending = self.store.load("pending")
         self.robots = self.store.load("robots")
@@ -250,6 +360,9 @@ class CrawlJob:
         self._seen_words = None
         self._delta_words = None
         self._filter_log_dirty = False
+        # re-attach (or seed) the bucketed ledger lazily on the next
+        # round — the committed manifest meta names the live version
+        self._ledger_version = None
         meta = (self.store.manifest() or {}).get("meta", {}).get("seen_bloom", {})
         self._m_bits = meta.get("m_bits")
         self._n_seen = meta.get("n_keys", 0)
@@ -430,7 +543,7 @@ class CrawlJob:
         # seen-set anti-join, Bloom-accelerated (X1/P8): the Bloom
         # pre-filter only skips definite-unseen keys; the exact
         # backstop remains authoritative (FP-safe). All JVM-side.
-        seen_keys = self._log().select("url_key")
+        seen_keys = self._seen_keys()
         probe_handle = None  # DataFrame or seen_ops.ProbeHandle
         if cfg.use_bloom:
             self._ensure_filter()
@@ -445,6 +558,7 @@ class CrawlJob:
                 "url_key",
                 m_bits=self._m_bits,
                 k=cfg.bloom_k,
+                broadcast_limit=cfg.bloom_broadcast_limit,
                 delta_words=self._delta_words,
                 persist_unseen=False,
             )
@@ -629,6 +743,21 @@ class CrawlJob:
                     cfg.bloom_k,
                 )
 
+        if cfg.seen_ledger_buckets and n_new > 0:
+            # append this round's keys BEFORE the manifest commit:
+            # rows tagged round=r stay invisible to _seen_keys() (and
+            # to any re-run after a crash here) until the commit below
+            # publishes round r. This reads new_links off the seq
+            # cache — one file per touched bucket, O(delta) written.
+            append_ledger_delta(
+                new_links.select(
+                    "url_key", F.lit(r).cast("int").alias("round")
+                ),
+                self._ledger_table(self._ledger_version),
+                self._ledger_path(self._ledger_version),
+                buckets=cfg.seen_ledger_buckets,
+            )
+
         self.round = r
         self.store.commit(
             r,
@@ -719,12 +848,47 @@ class CrawlJob:
                 .groupBy("word_id")
                 .agg(F.bit_or("word").alias("word"))
             )
+        ledger_meta = None
+        old_ledger_version = None
+        if self.config.seen_ledger_buckets:
+            # fold the ledger's per-round append files back to one
+            # sorted file per bucket, as a NEW version at a fresh
+            # path — the manifest commit below atomically swaps the
+            # live version (a crash in between leaves the old version
+            # intact and the half-written new one unreferenced; its
+            # files are cleared by the next compaction's overwrite).
+            self._ensure_ledger()
+            old_ledger_version = self._ledger_version
+            nv = old_ledger_version + 1
+            buckets = self.config.seen_ledger_buckets
+            write_bucketed_ledger(
+                self._seen_keys()
+                .distinct()
+                .withColumn("round", F.lit(r).cast("int")),
+                self._ledger_table(nv),
+                self._ledger_path(nv),
+                buckets=buckets,
+                mode="overwrite",
+            )
+            ledger_meta = {
+                "seen_ledger": {"version": nv, "buckets": buckets}
+            }
         self.store.commit(
             r,
             log_compact=compacted,
             options={"frontier_log": KEY_BLOOM_OPTIONS},
             carry_tables=True,
+            meta=ledger_meta,
         )
+        if old_ledger_version is not None:
+            # the new version is published — retire the old one
+            # (metadata drop + best-effort file cleanup)
+            self._ledger_version = old_ledger_version + 1
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self._ledger_table(old_ledger_version)}"
+            )
+            old_path = self._ledger_path(old_ledger_version)
+            _fs(self.spark, old_path).delete(_jpath(self.spark, old_path), True)
         if fold_bloom:
             # the compacted base IS the merged view: reset the
             # in-memory layers so the probe's delta join disappears

@@ -45,6 +45,65 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _jpath(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _fs(spark: SparkSession, path: str):
+    return _jpath(spark, path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def ensure_ledger_table(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    buckets: int,
+    key_col: str = "url_key",
+    schema: str = "url_key BIGINT, round INT",
+) -> None:
+    """(Re)register the external bucketed table over its files.
+
+    The bucket layout lives in the session catalog, which does not
+    survive a driver restart (sandbox in-memory catalog; on a cluster
+    the metastore/Iceberg catalog carries it instead). Resume calls
+    this to re-attach the catalog entry to the files already on disk:
+    ``CREATE TABLE IF NOT EXISTS`` is a metadata-only operation — the
+    data files (written by Spark's bucketed writer, bucket id encoded
+    in each file name) are picked up as-is."""
+    _fs(spark, path).mkdirs(_jpath(spark, path))
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({schema}) USING PARQUET "
+        f"CLUSTERED BY ({key_col}) SORTED BY ({key_col}) "
+        f"INTO {buckets} BUCKETS LOCATION '{path}'"
+    )
+
+
+def append_ledger_delta(
+    delta: DataFrame,
+    table: str,
+    path: str,
+    buckets: int,
+    key_col: str = "url_key",
+) -> None:
+    """Append one round's keys: writes at most one file per bucket
+    touched (the delta is repartitioned into the bucket layout), never
+    rewrites standing buckets. Crash-atomicity belongs to the CALLER's
+    round gate: rows carry the round they were appended for, readers
+    filter ``round <= committed_round``, so a delta that lands without
+    its manifest commit is invisible (and a re-run after such a crash
+    only adds duplicate key rows — harmless for set-membership joins,
+    folded out at the next compaction)."""
+    (
+        delta.repartition(buckets, key_col)
+        .write.format("parquet")
+        .bucketBy(buckets, key_col)
+        .sortBy(key_col)
+        .option("path", path)
+        .mode("append")
+        .saveAsTable(table)
+    )
+
+
 def write_bucketed_ledger(
     keys: DataFrame,
     table: str,
@@ -63,6 +122,11 @@ def write_bucketed_ledger(
     spark = keys.sparkSession
     if mode == "overwrite":
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # clear any stale files at the location (e.g. a compaction
+        # that crashed after writing but before its manifest commit
+        # published the new version) — Hadoop FS API, not a local
+        # rm, so the same code runs against HDFS/S3 on a cluster
+        _fs(spark, path).delete(_jpath(spark, path), True)
     # repartition on the bucket key with numPartitions == buckets:
     # Spark's bucket assignment is the same Murmur3 HashPartitioning,
     # so each write task holds exactly one bucket's rows and emits ONE
