@@ -3527,3 +3527,128 @@ FROM tiers
 
 QUERIES.update({"q_perplexity_bucket": q_perplexity_bucket})
 ORACLE_SQL.update({"q_perplexity_bucket": _SQL_PERPLEXITY})
+
+
+# ---------------------------------------------------------------------------
+# 54. data-mixture planning: temperature-resampled source weights
+#
+# The step between corpus curation and the training run: given
+# per-source token counts, compute the sampling weight each source
+# gets under temperature resampling w_i ∝ c_i^α (α<1 upsamples small
+# high-quality sources relative to raw proportion — the standard
+# mixture rule for multi-source pre-training corpora), plus the
+# expected token draw and effective epochs at a fixed token budget
+# (epochs > 1 ⇒ the source repeats; the pipeline's repetition audit).
+
+_MIX_ALPHA = 0.7
+_MIX_BUDGET = 1_000_000
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one groupBy at corpus volume (map-side combined
+    sum of a projected token count — no text moves, just longs); the
+    output is SOURCE-cardinality (thousands of rows at 100 TB), so
+    the normalizing total is a 1-row broadcast cross join and the
+    whole tail of the query is dimension-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda s: s != ""))
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+    )
+    pow_tok = F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA))
+    tot = per_src.agg(
+        F.sum(pow_tok).alias("_z"),
+    )
+    w = pow_tok / F.col("_z")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(w, 6).alias("weight"),
+            F.round(F.lit(_MIX_BUDGET) * w / F.col("n_tokens"), 3).alias(
+                "epochs"
+            ),
+        )
+    )
+
+
+_SQL_DOMAIN_MIX = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(list_filter(string_split(text, ' '), s -> s <> '')))::BIGINT
+           AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(pow(n_tokens::DOUBLE, {_MIX_ALPHA})) AS z FROM per_src)
+SELECT source, n_docs, n_tokens,
+       round(pow(n_tokens::DOUBLE, {_MIX_ALPHA}) / tot.z, 6) AS weight,
+       round({_MIX_BUDGET} * pow(n_tokens::DOUBLE, {_MIX_ALPHA}) / tot.z
+             / n_tokens, 3) AS epochs
+FROM per_src, tot
+"""
+
+
+QUERIES.update({"q_domain_mix": q_domain_mix})
+ORACLE_SQL.update({"q_domain_mix": _SQL_DOMAIN_MIX})
+
+
+# ---------------------------------------------------------------------------
+# 55. context packing: concatenate-and-chunk sequence assignment
+#
+# The last transform before tensors: documents are concatenated in a
+# deterministic order and chunked into fixed-length contexts; each
+# doc needs to know which chunk it starts in and at what offset.
+
+_CTX_LEN = 512
+
+
+def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing runs PER SOURCE SHARD (partitionBy source): the
+    running-offset window parallelizes across shards and never needs
+    a global ordering — exactly how a 100 TB pipeline packs (per
+    output shard, writers independent). Within a shard the order is
+    doc_id (deterministic, append-stable). Integer-only output, so
+    the cross-engine compare is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda s: s != ""))
+    sized = docs.select(
+        "source", "doc_id", n_tok.cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return sized.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        offset.alias("tok_offset"),
+        F.floor(offset / F.lit(_CTX_LEN)).cast("long").alias("chunk"),
+        (offset % F.lit(_CTX_LEN)).cast("long").alias("chunk_pos"),
+    )
+
+
+_SQL_PACK = f"""
+WITH sized AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(text, ' '), s -> s <> ''))::BIGINT
+           AS n_tokens
+  FROM documents),
+packed AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+  FROM sized)
+SELECT source, doc_id, n_tokens, tok_offset,
+       (tok_offset // {_CTX_LEN})::BIGINT AS chunk,
+       (tok_offset % {_CTX_LEN})::BIGINT AS chunk_pos
+FROM packed
+"""
+
+
+QUERIES.update({"q_pack_contexts": q_pack_contexts})
+ORACLE_SQL.update({"q_pack_contexts": _SQL_PACK})
