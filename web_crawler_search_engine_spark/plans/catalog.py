@@ -3545,11 +3545,13 @@ _MIX_BUDGET = 1_000_000
 
 
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: one groupBy at corpus volume (map-side combined
-    sum of a projected token count — no text moves, just longs); the
+    """Scale shape: ONE corpus-volume groupBy (map-side combined sum
+    of a projected token count — no text moves, just longs); the
     output is SOURCE-cardinality (thousands of rows at 100 TB), so
-    the normalizing total is a 1-row broadcast cross join and the
-    whole tail of the query is dimension-sized."""
+    the normalizing total is a whole-frame window over that tiny
+    aggregate — a single-partition exchange of dimension-sized rows,
+    NOT a second corpus scan (an agg-of-the-agg subquery would
+    re-execute the scan; the window reuses the one aggregate)."""
     docs = _t(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda s: s != ""))
     per_src = docs.groupBy("source").agg(
@@ -3557,21 +3559,15 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_tok).cast("long").alias("n_tokens"),
     )
     pow_tok = F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA))
-    tot = per_src.agg(
-        F.sum(pow_tok).alias("_z"),
-    )
-    w = pow_tok / F.col("_z")
-    return (
-        per_src.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            F.round(w, 6).alias("weight"),
-            F.round(F.lit(_MIX_BUDGET) * w / F.col("n_tokens"), 3).alias(
-                "epochs"
-            ),
-        )
+    w = pow_tok / F.sum(pow_tok).over(Window.partitionBy())
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(F.lit(_MIX_BUDGET) * w / F.col("n_tokens"), 3).alias(
+            "epochs"
+        ),
     )
 
 
