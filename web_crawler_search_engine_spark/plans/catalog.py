@@ -1572,6 +1572,99 @@ def _min_label_components(
     )
 
 
+def _star_components(
+    verts: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond" — the web-scale swap _min_label_components'
+    docstring promises). Min-label propagation needs DIAMETER rounds
+    — a 10^6-node dup chain is 10^6 joins; star contraction halves
+    path lengths every round, converging in O(log n) rounds on ANY
+    component shape, each round two node-keyed shuffles of the
+    (shrinking) edge set:
+
+      large-star: every node links its LARGER neighbors to the
+        minimum of its neighborhood (incl. itself);
+      small-star: every node links its smaller-or-equal neighbors
+        (and itself) to that minimum.
+
+    At the fixpoint the edge set is a union of stars centered on
+    component minima; labels read off the stars with one left join
+    (singletons label themselves). Returns the same
+    (id_col, cluster, keep) surface as _min_label_components, so the
+    two are drop-in interchangeable — and hash-checked against the
+    SAME recursive-CTE oracle (q_dedup_clusters_star)."""
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(100):
+        # large-star: group Γ(u) over BOTH orientations, m = min(Γ∪{u})
+        und = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", F.col("u")).alias("m"))
+        )
+        ls = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient toward the smaller endpoint, then link
+        # each node AND its smaller neighbors to the neighborhood min
+        sml = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smins = sml.groupBy("u").agg(F.min("v").alias("m"))
+        joined = sml.join(smins, "u")
+        ss = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint: the (distinct, self-loop-free) edge sets agree
+        if (
+            ss.count() == edges.count()
+            and ss.join(edges, ["u", "v"], "left_anti").count() == 0
+        ):
+            edges = ss
+            break
+        edges = ss
+    else:
+        raise RuntimeError(
+            "star contraction hit the 100-round safety cap "
+            "without converging"
+        )
+    stars = edges.groupBy("u").agg(F.min("v").alias("_lbl"))
+    labels = verts.join(
+        stars.withColumnRenamed("u", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.least(F.col(id_col), F.coalesce("_lbl", F.col(id_col))).alias(
+            "cluster"
+        ),
+    )
+    return labels.select(
+        id_col,
+        "cluster",
+        (F.col(id_col) == F.col("cluster")).alias("keep"),
+    )
+
+
 _SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE
 dd AS ({_EMB_DUPES_SQL}),
@@ -3648,3 +3741,26 @@ FROM packed
 
 QUERIES.update({"q_pack_contexts": q_pack_contexts})
 ORACLE_SQL.update({"q_pack_contexts": _SQL_PACK})
+
+
+# ---------------------------------------------------------------------------
+# 56. dedup cluster resolution, web-scale variant: star contraction
+#
+# Same decision surface as q_dedup_clusters (cluster id = component
+# min, keep = survivor) over the same embedding-cosine pair graph,
+# computed by alternating large-star/small-star contraction instead
+# of min-label propagation: O(log n) rounds on any component shape
+# vs diameter-many — the difference between 20 and 10^6 joins on a
+# pathological dup CHAIN at web scale. Hash-checked against the SAME
+# recursive-CTE oracle, which is the point: two independent Spark
+# algorithms and a DuckDB fixpoint all agree row-for-row.
+
+
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    verts = _emb_with_dupes(spark, sf_dir).select("vec_id")
+    return _star_components(verts, pairs, "vec_id", "vec_a", "vec_b")
+
+
+QUERIES.update({"q_dedup_clusters_star": q_dedup_clusters_star})
+ORACLE_SQL.update({"q_dedup_clusters_star": _SQL_DEDUP_CLUSTERS})
