@@ -81,6 +81,9 @@ HEADLINERS = [
     "q_bm25",
     "q_decontaminate",
     "q_perplexity_bucket",
+    "q_domain_mix",
+    "q_pack_contexts",
+    "q_dedup_clusters_star",
 ]
 
 
