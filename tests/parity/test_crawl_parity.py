@@ -196,6 +196,60 @@ def test_bucketed_ledger_resume_fresh_catalog(
     assert job2.admitted_sequences() == engine_run.admitted_sequences()
 
 
+def test_bucketed_ledger_crash_window_rows_invisible(
+    spark, world, tmp_path_factory, engine_run
+):
+    """The append-before-commit crash window: the ledger delta lands,
+    the manifest commit does not. Deterministic re-execution will
+    append the SAME keys again, so the contract is (a) the orphaned
+    rows are invisible until round 2 commits (round gate) and (b)
+    once it does, they are exact duplicates — harmless to every
+    set-membership join. Simulated honestly: a cloned checkpoint
+    learns round 2's true delta, those exact rows are planted in the
+    original as the crashed append, then the resumed crawl must stay
+    bit-for-bit."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from web_crawler_search_engine_spark.sources.ledger import (
+        append_ledger_delta,
+    )
+
+    kw = dict(seen_ledger_buckets=4, bloom_broadcast_limit=0)
+    ckpt = tmp_path_factory.mktemp("ckpt_bl_crash")
+    job = _make_job(spark, world, ckpt, **kw)
+    job.start(world.seeds)
+    job.run_round()
+    # clone the checkpoint and run round 2 there to learn the exact
+    # delta the crashed append would have written
+    ckpt2 = str(ckpt) + "_probe"
+    shutil.copytree(str(ckpt), ckpt2)
+    probe = _make_job(spark, world, ckpt2, **kw)
+    assert probe.resume() == 1
+    probe.run_round()
+    delta = (
+        spark.table(probe._ledger_table(probe._ledger_version))
+        .where(F.col("round") == 2)
+        .localCheckpoint()
+    )
+    assert delta.count() > 0  # the window must actually be exercised
+    # plant the crashed append in the ORIGINAL checkpoint (still at
+    # round 1), then resume: round 2 re-runs and re-appends the same
+    # keys — duplicates by design, results unchanged
+    append_ledger_delta(
+        delta,
+        job._ledger_table(job._ledger_version),
+        job._ledger_path(job._ledger_version),
+        buckets=4,
+    )
+    job2 = _make_job(spark, world, ckpt, **kw)
+    assert job2.resume() == 1
+    job2.run(max_rounds=60)
+    assert job2.final_state() == engine_run.final_state()
+    assert job2.admitted_sequences() == engine_run.admitted_sequences()
+
+
 def test_bucketed_ledger_enabled_on_legacy_checkpoint(
     spark, world, tmp_path_factory, engine_run
 ):
