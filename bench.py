@@ -83,7 +83,11 @@ HEADLINERS = [
     "q_perplexity_bucket",
     "q_domain_mix",
     "q_pack_contexts",
-    "q_dedup_clusters_star",
+    # q_dedup_clusters_star stays out of the headliners (like
+    # q_dedup_clusters): the iterative CC queries are correctness
+    # surface, not throughput headliners — ~30 s at sf0.1 would
+    # dominate the per-query table without measuring anything the
+    # pair-generation headliners don't already cover
 ]
 
 
