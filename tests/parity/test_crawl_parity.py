@@ -250,6 +250,35 @@ def test_bucketed_ledger_crash_window_rows_invisible(
     assert job2.admitted_sequences() == engine_run.admitted_sequences()
 
 
+def test_bucketed_ledger_bucket_count_change_on_resume(
+    spark, world, tmp_path_factory, engine_run
+):
+    """Resuming with a different seen_ledger_buckets than the live
+    version was written with: appends must keep the WRITTEN layout
+    (a mismatched bucketBy spec is a write error) and the new count
+    takes effect at the next compaction's re-bucketed version —
+    results bit-for-bit throughout."""
+    ckpt = tmp_path_factory.mktemp("ckpt_bl_rebucket")
+    job = _make_job(
+        spark, world, ckpt, seen_ledger_buckets=4, bloom_broadcast_limit=0
+    )
+    job.start(world.seeds)
+    job.run_round()
+    job2 = _make_job(
+        spark,
+        world,
+        ckpt,
+        seen_ledger_buckets=8,
+        bloom_broadcast_limit=0,
+        compact_every=2,
+    )
+    assert job2.resume() == 1
+    assert job2.run(max_rounds=60)["pending"] == 0
+    assert job2._ledger_buckets == 8  # re-bucketed at compaction
+    assert job2.final_state() == engine_run.final_state()
+    assert job2.admitted_sequences() == engine_run.admitted_sequences()
+
+
 def test_bucketed_ledger_enabled_on_legacy_checkpoint(
     spark, world, tmp_path_factory, engine_run
 ):

@@ -169,6 +169,7 @@ class CrawlJob:
         # lazily (None => attach/seed from the manifest meta)
         self._ledger_id = hashlib.md5(str(ckpt).encode()).hexdigest()[:12]
         self._ledger_version: int | None = None
+        self._ledger_buckets: int | None = None
 
     # -- views over the append-only log --------------------------------
     def _log(self) -> DataFrame:
@@ -190,15 +191,22 @@ class CrawlJob:
         it instead). A checkpoint that predates the mode is seeded
         from the authoritative frontier log — O(frontier) once, same
         cost class as the Bloom from-ledger rebuild."""
-        buckets = self.config.seen_ledger_buckets
         if self._ledger_version is not None:
             return
         meta = (self.store.manifest() or {}).get("meta", {}).get(
             "seen_ledger", {}
         )
         v = meta.get("version")
+        # appends MUST use the bucket count the live version was
+        # WRITTEN with (a mismatched bucketBy spec is a write error);
+        # a changed config takes effect at the next compaction, which
+        # re-buckets into a fresh version
+        self._ledger_buckets = meta.get(
+            "buckets", self.config.seen_ledger_buckets
+        )
         if v is None:
             v = 0
+            self._ledger_buckets = self.config.seen_ledger_buckets
             keys = (
                 self._log()
                 .select("url_key")
@@ -209,7 +217,7 @@ class CrawlJob:
                 keys,
                 self._ledger_table(0),
                 self._ledger_path(0),
-                buckets=buckets,
+                buckets=self._ledger_buckets,
                 mode="overwrite",
             )
         else:
@@ -217,7 +225,7 @@ class CrawlJob:
                 self.spark,
                 self._ledger_table(v),
                 self._ledger_path(v),
-                buckets=meta.get("buckets", buckets),
+                buckets=self._ledger_buckets,
             )
         self._ledger_version = v
 
@@ -325,6 +333,7 @@ class CrawlJob:
                 mode="overwrite",
             )
             self._ledger_version = 0
+            self._ledger_buckets = self.config.seen_ledger_buckets
             ledger_meta = {
                 "seen_ledger": {
                     "version": 0,
@@ -755,7 +764,7 @@ class CrawlJob:
                 ),
                 self._ledger_table(self._ledger_version),
                 self._ledger_path(self._ledger_version),
-                buckets=cfg.seen_ledger_buckets,
+                buckets=self._ledger_buckets,
             )
 
         self.round = r
@@ -860,6 +869,8 @@ class CrawlJob:
             self._ensure_ledger()
             old_ledger_version = self._ledger_version
             nv = old_ledger_version + 1
+            # compaction re-buckets into the CURRENT config (a changed
+            # seen_ledger_buckets takes effect here, never mid-version)
             buckets = self.config.seen_ledger_buckets
             write_bucketed_ledger(
                 self._seen_keys()
@@ -884,6 +895,7 @@ class CrawlJob:
             # the new version is published — retire the old one
             # (metadata drop + best-effort file cleanup)
             self._ledger_version = old_ledger_version + 1
+            self._ledger_buckets = self.config.seen_ledger_buckets
             self.spark.sql(
                 f"DROP TABLE IF EXISTS {self._ledger_table(old_ledger_version)}"
             )
