@@ -39,6 +39,13 @@ def main() -> None:
     ap.add_argument("--no-bloom", action="store_true")
     ap.add_argument("--salt-buckets", type=int, default=16)
     ap.add_argument("--host-buckets", type=int, default=32)
+    ap.add_argument(
+        "--seen-ledger-buckets",
+        type=int,
+        default=None,
+        help="also keep the seen set as a bucketed table so non-"
+        "broadcast seen joins shuffle only the batch (sources/ledger)",
+    )
     ap.add_argument("--master", default=None, help="override master (else spark-submit's)")
     args = ap.parse_args()
 
@@ -75,6 +82,7 @@ def main() -> None:
         use_bloom=not args.no_bloom,
         salt_buckets=args.salt_buckets,
         host_buckets=args.host_buckets,
+        seen_ledger_buckets=args.seen_ledger_buckets,
     )
     job = CrawlJob(
         spark,
