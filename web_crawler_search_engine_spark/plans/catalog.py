@@ -3764,3 +3764,52 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"q_dedup_clusters_star": q_dedup_clusters_star})
 ORACLE_SQL.update({"q_dedup_clusters_star": _SQL_DEDUP_CLUSTERS})
+
+
+# ---------------------------------------------------------------------------
+# 57. weighted corpus sampling (deterministic A-ES reservoir keys)
+#
+# Sample K docs with probability ∝ weight (here: document length, the
+# token-budget-proportional draw) via the Efraimidis–Spirakis A-ES
+# scheme — key_i = u_i^(1/w_i), keep the K largest — with the uniform
+# u_i derived from the portable hash, so the "random" sample is
+# reproducible, composable across incremental runs, and identical in
+# both engines. Computed in the log domain (ln(u)/w, same ordering,
+# no fractional pow) for cross-engine float stability, rounded before
+# ranking, doc_id tie-break. PAPERS.md anchor: Streaming Weighted
+# Sampling over Join Queries (EDBT 2023) studies exactly these
+# weighted reservoir keys at scale.
+
+_WS_K = 100
+_WS_M = 1 << 40  # uniform resolution; u in (0, 1) exclusive
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: a pure projection followed by a global top-K —
+    Catalyst plans TakeOrderedAndProject (per-partition heaps, no
+    full sort, K rows to the driver-side reduce), so a 100 TB corpus
+    streams through map tasks and ships only K × n_partitions rows."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.pmod(_phash(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), F.lit(_WS_M))
+        + 1
+    ) / F.lit(float(_WS_M + 1))
+    key = F.round(F.log(u) / F.col("n_chars"), 12)
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("ws_key"))
+        .orderBy(F.desc("ws_key"), F.asc("doc_id"))
+        .limit(_WS_K)
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, source, n_chars,
+       round(ln((({_PHASH_SQL.format("'ws:' || doc_id::VARCHAR")}) % {_WS_M} + 1)
+                / {float(_WS_M + 1)}) / n_chars, 12) AS ws_key
+FROM documents
+ORDER BY ws_key DESC, doc_id ASC LIMIT {_WS_K}
+"""
+
+
+QUERIES.update({"q_weighted_sample": q_weighted_sample})
+ORACLE_SQL.update({"q_weighted_sample": _SQL_WEIGHTED_SAMPLE})
