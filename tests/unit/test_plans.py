@@ -114,3 +114,29 @@ def test_perplexity_bucket_has_no_single_partition_window(spark):
         # an empty partition list
         assert "SinglePartition" not in head
     assert "SinglePartition" not in p
+
+
+def test_weighted_sample_is_take_ordered_no_shuffle(spark):
+    """A-ES weighted sampling: global top-K as TakeOrderedAndProject
+    (per-partition heaps, no full sort, no Exchange) over a
+    text-pruned scan."""
+    p = _plan(catalog.q_weighted_sample(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+    read = p.split("ReadSchema")[1].split("\n")[0]
+    assert "text" not in read and "n_chars" in read
+
+
+def test_pack_contexts_single_source_partitioned_window(spark):
+    """Packing shuffles ONCE (into the source shards) and its window
+    is never global."""
+    p = _plan(catalog.q_pack_contexts(spark, SF))
+    assert p.count(") Exchange") == 1
+    assert "SinglePartition" not in p
+
+
+def test_domain_mix_single_corpus_scan(spark):
+    """The normalizing total must reuse the one aggregate (whole-frame
+    window over source-cardinality rows), not re-scan the corpus."""
+    p = _plan(catalog.q_domain_mix(spark, SF))
+    assert p.count(") Scan parquet") == 1
