@@ -3813,3 +3813,95 @@ ORDER BY ws_key DESC, doc_id ASC LIMIT {_WS_K}
 
 QUERIES.update({"q_weighted_sample": q_weighted_sample})
 ORACLE_SQL.update({"q_weighted_sample": _SQL_WEIGHTED_SAMPLE})
+
+
+# ---------------------------------------------------------------------------
+# 58. HyperLogLog distinct-count sketch, deterministic and mergeable
+#
+# Distinct counting at 100 TB is a SKETCH problem: exact
+# count(DISTINCT) shuffles every value; an HLL register table is
+# m-bounded, merges with a groupBy(max), and unions across shards /
+# days / tiers for free — the canonical mergeable-summary op (Spark's
+# own approx_count_distinct is HLL++, but its registers are opaque
+# and engine-specific). This one is built from first principles over
+# the PORTABLE hash, so DuckDB computes bit-identical registers and
+# the estimate is exactly oracle-checkable — a sketch with a hash
+# gate, not a tolerance gate. Register math: bucket = low P bits,
+# rho = leading-zero count of the remaining W bits + 1 (via the
+# cross-engine `bin()` length, no float log), linear-counting fallback
+# below 2.5m with empty registers (Flajolet et al. 2007).
+
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P  # 512 registers
+_HLL_W = 51  # 60-bit portable hash minus P bucket bits
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary size of the corpus, sketched. Scale shape: one
+    projection per token instance (duplicates are free — max is
+    idempotent, the reason HLL needs no pre-distinct), a groupBy
+    bounded by m=512 rows, then scalar math. The exact count rides
+    along for self-audit; production emits the register table and
+    merges downstream."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    h = _phash(F.col("token"))
+    rest = F.shiftrightunsigned(h, _HLL_P)
+    rho = F.when(rest == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W) - (F.length(F.bin(rest)) - F.lit(1))
+    )
+    regs = (
+        toks.select(
+            F.pmod(h, F.lit(_HLL_M)).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("s"),
+        F.count("*").alias("v"),
+    )
+    exact = toks.agg(F.countDistinct("token").alias("n_exact"))
+    z = (F.lit(_HLL_M) - F.col("v")).cast("double")
+    e_raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / (F.col("s") + z)
+    e = F.when(
+        (e_raw <= F.lit(2.5 * _HLL_M)) & (z > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / z),
+    ).otherwise(e_raw)
+    return agg.crossJoin(exact).select(
+        F.lit(_HLL_M).alias("m"),
+        "n_exact",
+        F.round(e, 3).alias("estimate"),
+        F.round((e - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+_SQL_HLL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hs AS (SELECT ({_PHASH_SQL.format("token")}) AS h FROM toks),
+rr AS (
+  SELECT h % {_HLL_M} AS bucket,
+         CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_W + 1}
+              ELSE {_HLL_W} - (length(bin(h // {_HLL_M})) - 1) END AS rho
+  FROM hs),
+regs AS (SELECT bucket, max(rho) AS m_j FROM rr GROUP BY bucket),
+agg AS (SELECT sum(pow(2.0, -m_j)) AS s, count(*) AS v FROM regs),
+ex AS (SELECT count(DISTINCT token) AS n_exact FROM toks),
+est AS (
+  SELECT CASE WHEN {_HLL_ALPHA * _HLL_M * _HLL_M} / (s + ({_HLL_M} - v))
+                   <= {2.5 * _HLL_M} AND v < {_HLL_M}
+              THEN {float(_HLL_M)} * ln({float(_HLL_M)} / ({_HLL_M} - v))
+              ELSE {_HLL_ALPHA * _HLL_M * _HLL_M} / (s + ({_HLL_M} - v))
+         END AS e, v
+  FROM agg)
+SELECT {_HLL_M} AS m, n_exact, round(e, 3) AS estimate,
+       round((e - n_exact) / n_exact, 4) AS rel_err
+FROM est, ex
+"""
+
+
+QUERIES.update({"q_hll_distinct": q_hll_distinct})
+ORACLE_SQL.update({"q_hll_distinct": _SQL_HLL})
