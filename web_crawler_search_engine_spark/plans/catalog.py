@@ -3905,3 +3905,115 @@ FROM est, ex
 
 QUERIES.update({"q_hll_distinct": q_hll_distinct})
 ORACLE_SQL.update({"q_hll_distinct": _SQL_HLL})
+
+
+# ---------------------------------------------------------------------------
+# 59. Count–Min sketch: frequency estimates from a d×w counter table
+#
+# The frequency-sketch counterpart of q_hll_distinct: token counts at
+# 100 TB compressed into d·w counters (here 3×256) that merge by
+# cellwise ADDITION across shards — the mergeable summary behind
+# heavy-hitter monitoring. Estimate = min over the d row counters a
+# token hashes to; one-sided error (never under-counts), bounded by
+# the collision mass. Same determinism discipline as the HLL: row
+# hashes come from the portable hash, so both engines build the SAME
+# counter table and the driver gate checks estimates exactly
+# (Cormode & Muthukrishnan 2005).
+
+_CMS_D = 3
+_CMS_W = 256
+_CMS_TOPK = 10
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The true top-K tokens with their CMS estimates and the
+    overestimate mass. Scale shape: the counter build is one explode
+    (d rows per token instance) into a groupBy bounded by d·w = 768
+    output rows, map-side combined; the probe side is K tokens
+    broadcast into that tiny table. The exact top-K here doubles as
+    the sketch's self-audit (est >= true always)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+
+    def cell(i: int):
+        h = _phash(F.concat(F.lit(f"cms{i}:"), F.col("token")))
+        return F.pmod(h, F.lit(_CMS_W))
+
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), cell(i).alias("col")
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row", "c.col")
+    counters = cells.groupBy("row", "col").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+        .limit(_CMS_TOPK)
+    )
+    probes = top.select(
+        "token",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), cell(i).alias("col")
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("token", "true_cnt", "c.row", "c.col")
+    return (
+        probes.join(F.broadcast(counters), ["row", "col"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "token",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
+        )
+    )
+
+
+def _cms_cells_sql(src: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT token, {i} AS row, "
+        + "("
+        + _PHASH_SQL.format(f"'cms{i}:' || token")
+        + f") % {_CMS_W} AS col FROM {src}"
+        for i in range(_CMS_D)
+    )
+
+
+_SQL_CMS = f"""
+WITH toks AS ({_TOKENS_SQL}),
+cells AS ({_cms_cells_sql('toks')}),
+counters AS (
+  SELECT row, col, count(*)::BIGINT AS cnt FROM cells GROUP BY row, col),
+top AS (
+  SELECT token, count(*)::BIGINT AS true_cnt FROM toks GROUP BY token
+  ORDER BY true_cnt DESC, token ASC LIMIT {_CMS_TOPK}),
+probes AS (
+  SELECT t.token, t.true_cnt, c.row, c.col
+  FROM top t JOIN ({_cms_cells_sql('top')}) c ON c.token = t.token)
+SELECT p.token, p.true_cnt, min(c.cnt) AS cms_est,
+       min(c.cnt) - p.true_cnt AS overcount
+FROM probes p JOIN counters c ON p.row = c.row AND p.col = c.col
+GROUP BY p.token, p.true_cnt
+"""
+
+
+QUERIES.update({"q_cms_heavy_hitters": q_cms_heavy_hitters})
+ORACLE_SQL.update({"q_cms_heavy_hitters": _SQL_CMS})
