@@ -44,6 +44,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .checkpoints import KEY_BLOOM_OPTIONS
+
 
 def _jpath(spark: SparkSession, path: str):
     return spark._jvm.org.apache.hadoop.fs.Path(path)
@@ -93,10 +95,11 @@ def append_ledger_delta(
     its manifest commit is invisible (and a re-run after such a crash
     only adds duplicate key rows — harmless for set-membership joins,
     folded out at the next compaction)."""
+    writer = delta.repartition(buckets, key_col).write.format("parquet")
+    for k, v in KEY_BLOOM_OPTIONS.items():
+        writer = writer.option(k, v)
     (
-        delta.repartition(buckets, key_col)
-        .write.format("parquet")
-        .bucketBy(buckets, key_col)
+        writer.bucketBy(buckets, key_col)
         .sortBy(key_col)
         .option("path", path)
         .mode("append")
@@ -132,11 +135,14 @@ def write_bucketed_ledger(
     # so each write task holds exactly one bucket's rows and emits ONE
     # file per bucket — the state in which sort-merge reads the ledger
     # side sort-free (multi-file buckets still join exchange-free but
-    # pay a per-read sort until compaction)
+    # pay a per-read sort until compaction). Column Bloom + dictionary
+    # stats on the key (KEY_BLOOM_OPTIONS) let the broadcast-backstop
+    # semi scans skip row groups, same as the frontier log's writes.
+    writer = keys.repartition(buckets, key_col).write.format("parquet")
+    for k, v in KEY_BLOOM_OPTIONS.items():
+        writer = writer.option(k, v)
     (
-        keys.repartition(buckets, key_col)
-        .write.format("parquet")
-        .bucketBy(buckets, key_col)
+        writer.bucketBy(buckets, key_col)
         .sortBy(key_col)
         .option("path", path)
         .mode(mode)
