@@ -83,6 +83,9 @@ HEADLINERS = [
     "q_perplexity_bucket",
     "q_domain_mix",
     "q_pack_contexts",
+    "q_weighted_sample",
+    "q_hll_distinct",
+    "q_cms_heavy_hitters",
     # q_dedup_clusters_star stays out of the headliners (like
     # q_dedup_clusters): the iterative CC queries are correctness
     # surface, not throughput headliners — ~30 s at sf0.1 would
