@@ -93,6 +93,105 @@ def test_registers_match_batch_helper_and_estimate_sane(
     assert math.isfinite(est) and 0 < est < HLL_M * 60
 
 
+def _run_cms_stream(spark, tmp_path_factory, flushes):
+    from web_crawler_search_engine_spark.sources.checkpoints import (
+        SnapshotStore,
+    )
+    from web_crawler_search_engine_spark.streaming.sketch_stream import (
+        start_cms_ingest,
+    )
+
+    drop = str(tmp_path_factory.mktemp("cmsdrop"))
+    store = SnapshotStore(spark, str(tmp_path_factory.mktemp("cmsstore")))
+    ckpt = str(tmp_path_factory.mktemp("cmsckpt"))
+    for flush in flushes:
+        spark.createDataFrame(flush, COLS).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+        q = start_cms_ingest(spark, drop, store, ckpt)
+        q.awaitTermination(120)
+    return store
+
+
+def test_cms_stream_equals_single_batch_and_never_undercounts(
+    spark, tmp_path_factory
+):
+    from web_crawler_search_engine_spark.streaming.sketch_stream import (
+        CMS_TABLE,
+        frequency_estimate,
+    )
+
+    rows = _rows()
+    split = _run_cms_stream(
+        spark, tmp_path_factory, [rows[:20], rows[20:45], rows[45:]]
+    )
+    single = _run_cms_stream(spark, tmp_path_factory, [rows])
+
+    def cnts(store):
+        return {
+            (r["row"], r["col"]): r["cnt"]
+            for r in store.load(CMS_TABLE).collect()
+        }
+
+    # additive merge across 3 flushes == one shot (exactly-once sums)
+    assert cnts(split) == cnts(single)
+    toks = (
+        spark.createDataFrame(rows, COLS)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    true_counts = {
+        r["token"]: r["cnt"]
+        for r in toks.groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    # one-sided error: estimates never under-count; an unseen token's
+    # estimate is pure collision mass — bounded by the total stream
+    # (the 3x256 table is dense at 400 tokens, so it need not be 0)
+    total = sum(true_counts.values())
+    for t in list(true_counts)[:5]:
+        est = frequency_estimate(spark, split, t)
+        assert true_counts[t] <= est <= total
+    assert 0 <= frequency_estimate(spark, split, "never-seen-token") <= total
+
+
+def test_cms_replayed_batch_does_not_double_count(spark, tmp_path_factory):
+    """The additive merge is NOT idempotent — this is the test that
+    the batch marker, not luck, provides exactly-once."""
+    from web_crawler_search_engine_spark.sources.checkpoints import (
+        SnapshotStore,
+    )
+    from web_crawler_search_engine_spark.streaming.sketch_stream import (
+        CMS_TABLE,
+        start_cms_ingest,
+    )
+
+    rows = _rows()
+    drop = str(tmp_path_factory.mktemp("cmsdrop2"))
+    store = SnapshotStore(spark, str(tmp_path_factory.mktemp("cmsstore2")))
+    spark.createDataFrame(rows, COLS).coalesce(1).write.mode(
+        "append"
+    ).parquet(drop)
+    q = start_cms_ingest(
+        spark, drop, store, str(tmp_path_factory.mktemp("cmsckpt2"))
+    )
+    q.awaitTermination(120)
+    before = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in store.load(CMS_TABLE).collect()
+    }
+    # fresh checkpoint: the file source re-delivers everything as
+    # batch 0, already covered by the committed marker
+    q2 = start_cms_ingest(
+        spark, drop, store, str(tmp_path_factory.mktemp("cmsckpt3"))
+    )
+    q2.awaitTermination(120)
+    after = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in store.load(CMS_TABLE).collect()
+    }
+    assert after == before
+
+
 def test_replayed_batch_is_noop(spark, tmp_path_factory):
     """At-least-once replay: a FRESH stream checkpoint over the same
     drop directory re-delivers everything as batch 0 — which the

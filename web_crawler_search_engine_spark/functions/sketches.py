@@ -62,6 +62,58 @@ def merge_registers(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+CMS_D = 3
+CMS_W = 256
+
+
+def cms_cells(values: DataFrame, col: str) -> DataFrame:
+    """(row, col) cell per value instance per hash row — the Count–Min
+    projection (plans/catalog.py q_cms_heavy_hitters twin: same
+    'cms{i}:' portable-hash rows, so counters built anywhere agree)."""
+    return values.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            portable_hash60(
+                                F.concat(F.lit(f"cms{i}:"), F.col(col))
+                            ),
+                            F.lit(CMS_W),
+                        ).alias("col"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row", "c.col")
+
+
+def cms_counters(values: DataFrame, col: str) -> DataFrame:
+    """(row, col, cnt) counter table — d·w-bounded output, map-side
+    combined at any input volume."""
+    return cms_cells(values, col).groupBy("row", "col").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def merge_counters(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cellwise ADDITION — the CMS union. Unlike the HLL max this is
+    NOT idempotent: merging the same delta twice double-counts, which
+    is exactly why the streaming ingest gates each merge behind the
+    committed batch marker (exactly-once, not at-least-once)."""
+    aa = a.select("row", "col", F.col("cnt").alias("_ca"))
+    bb = b.select("row", "col", F.col("cnt").alias("_cb"))
+    return aa.join(bb, ["row", "col"], "full_outer").select(
+        "row",
+        "col",
+        (
+            F.coalesce("_ca", F.lit(0)) + F.coalesce("_cb", F.lit(0))
+        ).alias("cnt"),
+    )
+
+
 def hll_estimate(registers: list[tuple[int, int]]) -> float:
     """Driver-side estimate from collected (bucket, m_j) rows —
     registers are ≤ m rows, so this is scalar math, not a data pass."""

@@ -34,12 +34,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.sketches import (
+    cms_cells,
+    cms_counters,
     hll_estimate,
     hll_registers,
+    merge_counters,
     merge_registers,
 )
 
 REGS_TABLE = "hll_regs"
+CMS_TABLE = "cms_counters"
 
 
 def _tokens(df: DataFrame) -> DataFrame:
@@ -98,3 +102,64 @@ def distinct_estimate(store) -> float:
         (r["bucket"], r["m_j"]) for r in store.load(REGS_TABLE).collect()
     ]
     return hll_estimate(regs)
+
+
+def start_cms_ingest(
+    spark: SparkSession,
+    docs_dir: str,
+    store,
+    ckpt_dir: str,
+    available_now: bool = True,
+):
+    """Streaming Count–Min counters over the same drop directory.
+    Same shape as the HLL ingest with one crucial difference: the
+    merge is cellwise ADDITION (functions/sketches.merge_counters),
+    which is not idempotent — the committed batch marker is what
+    turns foreachBatch's at-least-once into exactly-once, and the
+    replay test asserts a re-delivered batch does NOT double-count."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        meta = (store.manifest() or {}).get("meta", {}).get("cms", {})
+        done = meta.get("batches", [])
+        if bid in done:
+            return
+        delta = cms_counters(_tokens(batch_df), "token")
+        try:
+            base = store.load(CMS_TABLE)
+        except FileNotFoundError:
+            base = None
+        merged = delta if base is None else merge_counters(base, delta)
+        merged = merged.localCheckpoint(eager=True)
+        store.commit(
+            bid,
+            tables={CMS_TABLE: merged},
+            meta={"cms": {"batches": sorted(done + [bid])}},
+            carry_tables=True,
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt_dir)
+    )
+    if available_now:
+        stream = stream.trigger(availableNow=True)
+    return stream.start()
+
+
+def frequency_estimate(spark: SparkSession, store, token: str) -> int:
+    """Point query: min over the d counters the token hashes to —
+    a d-row lookup against the d·w-bounded standing table."""
+    probe = cms_cells(
+        spark.createDataFrame([(token,)], "token string"), "token"
+    )
+    # left join from the probe side: a cell absent from the counter
+    # table IS a zero counter, and min(…, 0) must see it
+    row = (
+        probe.join(store.load(CMS_TABLE), ["row", "col"], "left")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+        .collect()[0]
+    )
+    return int(row["est"] or 0)
