@@ -26,6 +26,13 @@ Scale shape: per batch one projection + one m-bounded groupBy + one
 m-bounded merge join. The standing state is m rows TOTAL at any
 corpus size — the reason a sketch, not a count-distinct, is the
 streaming primitive.
+
+The committed-batch marker is kept as an explicit id list here
+(exact, replay-order-agnostic — the tested contract). On a
+months-long production stream that list grows O(batches); the
+standard bound is a high-water mark per stream-checkpoint generation
+(file-source batch ids are monotone within a checkpoint), which the
+manifest meta accommodates without changing the commit protocol.
 """
 
 from __future__ import annotations
