@@ -578,8 +578,13 @@ def main() -> None:
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "round")
     n_reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
     q_reps = max(int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2")), 1)
+    # SPARK_GRAFT_MASTER overrides the master verbatim — e.g.
+    # local-cluster[4,2,6144] runs REAL separate executor JVMs
+    # (per-executor heap + cores), the closest this sandbox gets to
+    # the north_rule's N-vs-4N *executors* (tools/executor_scaling.py)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName("bench")
         # constant shuffle partitioning across parallelism levels —
         # the N-vs-4N comparison varies cores only, not the plan
@@ -592,6 +597,12 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # per-executor heap for local-cluster masters (inert in local[N],
+        # where the executor lives in the driver JVM)
+        .config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXEC_MEM", "4g"),
+        )
         # fixed pre-touched heap: on VM guests (THP/page-fault storms)
         # a growing heap under 32 allocating threads burns >90% sys
         # time in the kernel; pre-touching at startup removes it from
