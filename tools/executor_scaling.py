@@ -90,16 +90,28 @@ def main() -> None:
     ap.add_argument("--mem-mb", type=int, default=6144)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--no-calibrate", action="store_true")
+    ap.add_argument(
+        "--lo-first",
+        action="store_true",
+        help="run the low-executor level first (flip the host-drift "
+        "bias direction; run both orders to bracket it)",
+    )
     args = ap.parse_args()
 
     cal_pre = [] if args.no_calibrate else calibrate()
     lo, hi = sorted(args.execs)
-    print(f"[execscale] running {hi} executors", file=sys.stderr)
-    hi_res = run_level(hi, args.cores, args.mem_mb, args.n, args.reps)
-    print(f"[execscale] {hi} execs: {hi_res['min_sec']}s", file=sys.stderr)
-    print(f"[execscale] running {lo} executors", file=sys.stderr)
-    lo_res = run_level(lo, args.cores, args.mem_mb, args.n, args.reps)
-    print(f"[execscale] {lo} execs: {lo_res['min_sec']}s", file=sys.stderr)
+    order = [lo, hi] if args.lo_first else [hi, lo]
+    results = {}
+    for level in order:
+        print(f"[execscale] running {level} executors", file=sys.stderr)
+        results[level] = run_level(
+            level, args.cores, args.mem_mb, args.n, args.reps
+        )
+        print(
+            f"[execscale] {level} execs: {results[level]['min_sec']}s",
+            file=sys.stderr,
+        )
+    lo_res, hi_res = results[lo], results[hi]
     cal_post = [] if args.no_calibrate else calibrate()
 
     ratio = hi // lo
