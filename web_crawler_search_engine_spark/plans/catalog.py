@@ -3794,7 +3794,9 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(_phash(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), F.lit(_WS_M))
         + 1
     ) / F.lit(float(_WS_M + 1))
-    key = F.round(F.log(u) / F.col("n_chars"), 12)
+    # greatest(w,1): a zero-weight doc draws with the minimum weight
+    # instead of poisoning the ranking with a division by zero
+    key = F.round(F.log(u) / F.greatest("n_chars", F.lit(1)), 12)
     return (
         docs.select("doc_id", "source", "n_chars", key.alias("ws_key"))
         .orderBy(F.desc("ws_key"), F.asc("doc_id"))
@@ -3805,7 +3807,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_WEIGHTED_SAMPLE = f"""
 SELECT doc_id, source, n_chars,
        round(ln((({_PHASH_SQL.format("'ws:' || doc_id::VARCHAR")}) % {_WS_M} + 1)
-                / {float(_WS_M + 1)}) / n_chars, 12) AS ws_key
+                / {float(_WS_M + 1)}) / greatest(n_chars, 1), 12) AS ws_key
 FROM documents
 ORDER BY ws_key DESC, doc_id ASC LIMIT {_WS_K}
 """
