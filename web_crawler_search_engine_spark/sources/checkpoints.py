@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,10 +47,30 @@ KEY_BLOOM_OPTIONS = {
 
 
 class SnapshotStore:
-    def __init__(self, spark: SparkSession, root: str | os.PathLike):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | os.PathLike,
+        write_parallelism: int | None = None,
+    ):
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        # A round commit writes up to 8 independent tables whose data
+        # is tiny next to the fixed per-job cost (scheduling + file
+        # commit): measured 4.15 s/round sequential at an 8k world,
+        # ~0.5 s/job (tools/round_profile.py). Submitting them from
+        # driver threads overlaps those fixed costs; every shared
+        # cache (admitted/fetched/seq) is already materialized by the
+        # round's earlier actions, so concurrent writes only read
+        # caches plus their own small shuffles. On a real cluster this
+        # is ordinary multi-job submission — big-table writes saturate
+        # executors and serialize naturally inside the FIFO pool.
+        if write_parallelism is None:
+            write_parallelism = int(
+                os.environ.get("SPARK_GRAFT_COMMIT_PARALLELISM", "8")
+            )
+        self.write_parallelism = max(int(write_parallelism), 1)
 
     # -- write ------------------------------------------------------------
     def commit(
@@ -79,30 +100,50 @@ class SnapshotStore:
         }
         manifest["meta"].update(meta or {})
 
-        def write(df: DataFrame, path: Path, name: str, cols: list[str]):
+        def write(df: DataFrame, path: Path, name: str):
             writer = df.write.mode("overwrite")
             for key, val in (options or {}).get(name, {}).items():
                 writer = writer.option(key, val)
-            for col in cols:
+            for col in (partition_by or {}).get(name, []):
                 writer = writer.partitionBy(col)
             writer.parquet(str(path))
 
+        # stage every independent write, then run them concurrently —
+        # the manifest below is only assembled (deterministically, in
+        # declaration order) and published after EVERY write succeeds,
+        # so the crash/atomicity contract is unchanged: any failure
+        # leaves the previous snapshot current and the partial files
+        # unreferenced.
+        jobs: list[tuple[DataFrame, Path, str]] = []
         for name, df in (tables or {}).items():
             path = self.root / name / f"r{round_id}"
-            write(df, path, name, (partition_by or {}).get(name, []))
+            jobs.append((df, path, name))
             manifest["tables"][name] = str(path)
         for name, df in (log_compact or {}).items():
             path = self.root / name / f"c{round_id}"
-            write(df, path, name, (partition_by or {}).get(name, []))
+            jobs.append((df, path, name))
             manifest["logs"][name] = {"base": str(path), "deltas": []}
         for name, df in (log_appends or {}).items():
             path = self.root / name / f"d{round_id}"
-            write(df, path, name, (partition_by or {}).get(name, []))
+            jobs.append((df, path, name))
             info = manifest["logs"].get(name, {"base": None, "deltas": []})
             manifest["logs"][name] = {
                 "base": info.get("base"),
                 "deltas": list(info.get("deltas", [])) + [str(path)],
             }
+        if len(jobs) <= 1 or self.write_parallelism == 1:
+            for df, path, name in jobs:
+                write(df, path, name)
+        else:
+            with ThreadPoolExecutor(
+                max_workers=min(self.write_parallelism, len(jobs))
+            ) as pool:
+                futures = [
+                    pool.submit(write, df, path, name)
+                    for df, path, name in jobs
+                ]
+                for fut in futures:
+                    fut.result()
 
         tmp = self.root / f".manifest_r{round_id}.tmp"
         tmp.write_text(json.dumps(manifest, indent=1))
