@@ -387,3 +387,62 @@ def test_export_stats_ordering(engine_run):
     assert lens == sorted(lens, key=lambda x: (-x[0], x[1]))
     cnts = [(r["count"], r["token"]) for r in tokens.collect()]
     assert cnts == sorted(cnts, key=lambda x: (-x[0], x[1]))
+
+
+def test_resume_at_compaction_boundary_equals_uninterrupted(
+    spark, world, tmp_path_factory, engine_run
+):
+    """r3.8 pending-log layout: a kill+resume landing EXACTLY on a
+    compaction round must still produce bit-for-bit results. This is
+    the one state where the pending view's unevaluated slice comes
+    from the compacted frontier BASE (the _fresh_view fallback — the
+    round's own delta was folded away), not from a delta file."""
+    ckpt = tmp_path_factory.mktemp("ckpt_boundary")
+    job = _make_job(spark, world, ckpt, compact_every=2)
+    job.start(world.seeds)
+    job.run_round()
+    job.run_round()  # round 2 commits, then compacts in-place
+    job2 = _make_job(spark, world, ckpt, compact_every=2)
+    assert job2.resume() == 2
+    job2.run(max_rounds=60)
+    assert job2.final_state() == engine_run.final_state()
+    assert job2.admitted_sequences() == engine_run.admitted_sequences()
+
+
+def test_pending_log_storage_contract(engine_run):
+    """r3.8: the per-round commit never rewrites an O(pending) table.
+    No manifest lists a 'pending' snapshot; each round's pending_log
+    delta is bounded by the PREVIOUS round's discoveries (the rows
+    evaluated this round) — the O(delta) write claim, checked against
+    the committed metrics; and the append-once invariant holds (no
+    key appears twice in the live pending_log)."""
+    import pyspark.sql.functions as F
+
+    store = engine_run.store
+    new_urls_by_round = {}
+    for rnd in store.rounds():
+        m = store.manifest(rnd)
+        assert "pending" not in m["tables"], f"round {rnd} wrote pending"
+        if "metrics" in m["tables"]:
+            n = (
+                store.load("metrics", rnd)
+                .agg(F.sum("new_urls"))
+                .collect()[0][0]
+            )
+            new_urls_by_round[rnd] = int(n or 0)
+    final = store.manifest()
+    deltas = final["logs"]["pending_log"]["deltas"]
+    for path in deltas:
+        rnd = int(path.rsplit("d", 1)[1])
+        if rnd == 0:
+            continue  # schema-establishing empty base
+        rows = engine_run.spark.read.parquet(path).count()
+        assert rows <= new_urls_by_round.get(rnd - 1, 0), (
+            f"pending_log delta d{rnd} has {rows} rows > round "
+            f"{rnd - 1}'s {new_urls_by_round.get(rnd - 1, 0)} discoveries"
+        )
+    live = engine_run._plog_live()
+    assert (
+        live.groupBy("url_key").count().filter(F.col("count") > 1).count()
+        == 0
+    )

@@ -30,8 +30,17 @@ Scale design (the 100 TB / 10^10-URL point — what changed in r2):
     frontier is an APPEND-ONLY status log (discoveries, denials,
     fetches) with latest-wins compaction every ``compact_every``
     rounds (SURVEY §7.7.7 — the r1 full-snapshot rewrite is gone).
-    Only the shrinking ``pending`` working set is rewritten, because
-    admission must scan exactly that.
+    The ``pending`` working set (r3.8) is not stored at all — it is a
+    VIEW composed of the append-once ``pending_log`` (a row is
+    appended exactly once, when its robots evaluation admits it as a
+    candidate) minus the removal keys already present in the frontier
+    log's uncompacted deltas (fetched/denied rows), plus the latest
+    round's still-unevaluated discoveries read straight off that
+    round's frontier delta. Per round the engine writes O(delta)
+    pending rows; the O(pending) rewrite happens only at compaction,
+    where the composed view becomes the new ``pending_log`` base.
+    Admission still SCANS the O(pending) view each round — that scan
+    is the scheduler's job and is embarrassingly parallel.
   * The URL-seen Bloom filter is a (word_id, word) DataFrame updated
     by union + bit_or groupBy and probed with broadcast joins — all
     JVM codegen, no pandas UDF, no driver pass (operators/seen.py).
@@ -174,6 +183,59 @@ class CrawlJob:
     # -- views over the append-only log --------------------------------
     def _log(self) -> DataFrame:
         return self.store.load_log("frontier_log")
+
+    # -- pending working set as a composed view (r3.8) ------------------
+    # A pending row lives in exactly one place at a time:
+    #   * discovered last round  -> the latest frontier_log delta's
+    #     status='pending' rows (allowed is null — not yet evaluated);
+    #   * evaluated-and-allowed  -> one append-once ``pending_log``
+    #     row (written the round it was evaluated, never updated);
+    #   * admitted or denied     -> gone: its fetched/robots_denied
+    #     row in a frontier delta is the REMOVAL record the view
+    #     anti-joins against (no tombstone table needed — the status
+    #     log already records every exit).
+    # Compaction folds the composed view into a fresh pending_log
+    # base in the same commit that clears the frontier deltas, so the
+    # removal window is always exactly the uncompacted deltas. Net:
+    # the per-round commit writes O(delta) pending rows, O(pending)
+    # only at compaction — the last O(frontier) per-round write gone.
+    def _removed_keys(self) -> DataFrame | None:
+        deltas = self.store.load_log_deltas("frontier_log")
+        if deltas is None:
+            return None
+        return deltas.filter(F.col("status") != "pending").select("url_key")
+
+    def _fresh_view(self) -> DataFrame:
+        """Unevaluated discoveries of the LATEST committed round —
+        its frontier delta's pending rows. Right after a compaction
+        the delta is gone, but the compacted frontier base is
+        latest-wins one-row-per-key, so exactly those rows are its
+        ``status='pending' AND round=latest`` slice (nothing else can
+        carry that pair: discoveries keep their discovery round, and
+        same-round fetch/denial rows lose the status test)."""
+        try:
+            d = self.store.load_log_delta("frontier_log", self.round)
+        except FileNotFoundError:
+            d = self.store.load_log("frontier_log").filter(
+                F.col("round") == F.lit(self.round)
+            )
+        return d.filter(F.col("status") == "pending").select(*_FRONTIER_COLS)
+
+    def _plog_live(self) -> DataFrame:
+        """pending_log rows minus the frontier deltas' exit records.
+        Every pending_log row is evaluated-and-allowed (allowed=true)
+        and each key appears at most once — the append-once
+        invariant; compaction preserves it by rebasing from THIS view
+        (never folding in unevaluated rows). The anti-join right side
+        is O(rounds-since-compaction · batch) skinny keys."""
+        live = self.store.load_log("pending_log").select(*_FRONTIER_COLS)
+        removed = self._removed_keys()
+        if removed is not None:
+            live = live.join(removed, "url_key", "left_anti")
+        return live
+
+    def _pending_view(self) -> DataFrame:
+        return self._plog_live().unionByName(self._fresh_view())
 
     # -- bucketed seen-ledger (sources/ledger.py) ----------------------
     def _ledger_table(self, version: int) -> str:
@@ -342,12 +404,22 @@ class CrawlJob:
             }
         self.store.commit(
             0,
-            tables={"pending": frontier, "robots": empty_robots},
-            log_appends={"frontier_log": frontier, "token_log": empty_stats},
-            options={"frontier_log": KEY_BLOOM_OPTIONS, "pending": KEY_BLOOM_OPTIONS},
+            tables={"robots": empty_robots},
+            log_appends={
+                "frontier_log": frontier,
+                "token_log": empty_stats,
+                # schema-establishing empty base: seeds stay in the
+                # round-0 frontier delta (the _fresh_view slot) until
+                # round 1 evaluates them
+                "pending_log": frontier.limit(0),
+            },
+            options={
+                "frontier_log": KEY_BLOOM_OPTIONS,
+                "pending_log": KEY_BLOOM_OPTIONS,
+            },
             meta=ledger_meta,
         )
-        self.pending = self.store.load("pending")
+        self.pending = self._pending_view()
         self.robots = self.store.load("robots")
         self._base = self.pending.count()
         self._n_seen = self._base
@@ -364,7 +436,7 @@ class CrawlJob:
             raise FileNotFoundError("no snapshot to resume from")
         self.round = r
         self._base = None
-        self.pending = self.store.load("pending")
+        self.pending = self._pending_view()
         self.robots = self.store.load("robots")
         self._seen_words = None
         self._delta_words = None
@@ -431,11 +503,20 @@ class CrawlJob:
     def run_round(self) -> dict:
         cfg = self.config
         r = self.round + 1
-        pending = self.pending
+        # structural split of the pending view (r3.8): the live
+        # pending_log rows (evaluated candidates — an O(pending) scan
+        # consumed once, by admission) and the latest round's
+        # unevaluated discoveries (O(delta))
+        known = self._plog_live()
+        unevaluated = self._fresh_view()
 
-        # 1. robots fetch-once for first-contact hosts (P6/J1/U6)
+        # 1. robots fetch-once for first-contact hosts (P6/J1/U6).
+        #    Known rows were already pending in an earlier round, so
+        #    their hosts hold robots rows from that round's fetch —
+        #    only the unevaluated slice can contribute first-contact
+        #    hosts: an O(delta) scan, not O(pending).
         new_hosts = (
-            pending.select("host")
+            unevaluated.select("host")
             .distinct()
             .join(self.robots.select("host"), "host", "left_anti")
         )
@@ -452,25 +533,26 @@ class CrawlJob:
         )
         robots = self.robots.unionByName(fetched_robots)
 
-        # 2. evaluate can_fetch once per URL (F13/U4); persists in
-        #    the 'allowed' column so each URL is evaluated exactly once
-        fresh = pending.filter(F.col("allowed").isNull()).drop("allowed")
-        known = pending.filter(F.col("allowed").isNotNull())
-        evaluated = fresh.join(
-            F.broadcast(robots.select("host", "rules")), "host", "left"
-        ).withColumn("allowed", self._allows(F.col("rules"), F.col("url")))
-        evaluated = evaluated.drop("rules")
-        # persisted: the round commit reads this lineage from three
-        # actions (pending rewrite, metrics, frontier_log delta) — the
-        # can_fetch pandas UDF must run ONCE per round, not per action
-        pending_eval = known.unionByName(
-            evaluated.select(*_FRONTIER_COLS)
-        ).persist()
+        # 2. evaluate can_fetch once per URL (F13/U4) — only ever over
+        #    the O(delta) unevaluated slice. Persisted (an O(delta)
+        #    cache, r3.8 — the r2-r3.7 design cached the whole
+        #    O(pending) evaluated union) because three actions consume
+        #    it: the status-delta write, metrics, and the pending_log
+        #    append — the can_fetch pandas UDF must run ONCE per
+        #    round, not per action.
+        evaluated = (
+            unevaluated.drop("allowed")
+            .join(F.broadcast(robots.select("host", "rules")), "host", "left")
+            .withColumn("allowed", self._allows(F.col("rules"), F.col("url")))
+            .drop("rules")
+            .select(*_FRONTIER_COLS)
+            .persist()
+        )
 
-        denied = pending_eval.filter(~F.col("allowed")).withColumn(
+        denied = evaluated.filter(~F.col("allowed")).withColumn(
             "status", F.lit("robots_denied")
         )
-        candidates = pending_eval.filter(F.col("allowed"))
+        candidates = known.unionByName(evaluated.filter(F.col("allowed")))
 
         # 3. politeness admission (P7/J2/O5)
         with_quota = candidates.join(
@@ -683,13 +765,18 @@ class CrawlJob:
             .select(F.lit(r).alias("round"), "partition_id", *_metric_cols)
         )
 
-        # 9. next pending working set (the ONLY per-round full-table
-        #    rewrite — it shrinks as the crawl drains) + the O(delta)
-        #    status-log append.
+        # 9. pending_log append (r3.8): ONLY the rows evaluated this
+        #    round that survive into the next pending set — each
+        #    pending row is appended exactly once; every exit
+        #    (fetched/denied) is already recorded by the status-log
+        #    delta below, which doubles as the pending view's removal
+        #    set. The commit writes O(delta) pending rows; the old
+        #    O(pending) snapshot rewrite happens only at compaction.
         admitted_keys = admitted.select("url_key")
-        remaining = candidates.join(admitted_keys, "url_key", "left_anti")
-        pending_next = remaining.select(*_FRONTIER_COLS).unionByName(
-            new_links.select(*_FRONTIER_COLS)
+        plog_append = (
+            evaluated.filter(F.col("allowed"))
+            .join(admitted_keys, "url_key", "left_anti")
+            .select(*_FRONTIER_COLS)
         )
         log_delta = (
             denied.select(*_FRONTIER_COLS)
@@ -717,6 +804,7 @@ class CrawlJob:
             "frontier_log": log_delta,
             "token_log": round_tokens,
             "pages": pages,
+            "pending_log": plog_append,
         }
         commit_compacts: dict[str, DataFrame] = {}
         bloom_meta = None
@@ -771,7 +859,6 @@ class CrawlJob:
         self.store.commit(
             r,
             tables={
-                "pending": pending_next.repartition(cfg.host_buckets, "host"),
                 "robots": robots,
                 "admitted": admitted_log,
                 "metrics": metrics,
@@ -781,11 +868,11 @@ class CrawlJob:
             meta=bloom_meta,
             options={
                 "frontier_log": KEY_BLOOM_OPTIONS,
-                "pending": KEY_BLOOM_OPTIONS,
+                "pending_log": KEY_BLOOM_OPTIONS,
                 "pages": KEY_BLOOM_OPTIONS,
             },
         )
-        self.pending = self.store.load("pending")
+        self.pending = self._pending_view()
         self.robots = self.store.load("robots")
 
         # counts from the committed delta tables (no O(frontier) scan)
@@ -828,7 +915,7 @@ class CrawlJob:
                     else seen_ops.or_words(self._delta_words, round_delta)
                 ).localCheckpoint(eager=False)
 
-        for h in (admitted, fetched, seq_cache, probe_handle, pending_eval):
+        for h in (admitted, fetched, seq_cache, probe_handle, evaluated):
             if h is not None:
                 h.unpersist()
 
@@ -847,6 +934,18 @@ class CrawlJob:
         compacted = {
             "frontier_log": self.frontier,
             "token_log": self.token_stats,
+            # the live evaluated rows become the new base IN THE SAME
+            # COMMIT that clears the frontier deltas (its removal
+            # window) — a crash in between leaves the previous
+            # manifest's consistent pair current. This is the only
+            # O(pending) write; every round in between appends
+            # O(delta). The just-committed round's UNEVALUATED rows
+            # are NOT folded in (append-once invariant: evaluation
+            # would re-append them) — _fresh_view reads them off the
+            # compacted frontier base instead.
+            "pending_log": self._plog_live().repartition(
+                self.config.host_buckets, "host"
+            ),
         }
         fold_bloom = self.config.use_bloom and self.store.log_delta_count(
             "seen_bloom"
@@ -887,10 +986,15 @@ class CrawlJob:
         self.store.commit(
             r,
             log_compact=compacted,
-            options={"frontier_log": KEY_BLOOM_OPTIONS},
+            options={
+                "frontier_log": KEY_BLOOM_OPTIONS,
+                "pending_log": KEY_BLOOM_OPTIONS,
+            },
             carry_tables=True,
             meta=ledger_meta,
         )
+        # re-resolve the composed view onto the compacted paths
+        self.pending = self._pending_view()
         if old_ledger_version is not None:
             # the new version is published — retire the old one
             # (metadata drop + best-effort file cleanup)

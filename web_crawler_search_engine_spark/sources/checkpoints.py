@@ -186,6 +186,21 @@ class SnapshotStore:
     def load_log(self, name: str, round_id: int | None = None) -> DataFrame:
         return self.spark.read.parquet(*self.log_paths(name, round_id))
 
+    def load_log_deltas(
+        self, name: str, round_id: int | None = None
+    ) -> DataFrame | None:
+        """Only the UNCOMPACTED delta file groups of a log (no base),
+        or None when every row has been folded into the base. The
+        crawl's pending view reads the frontier log's deltas as its
+        removal set — a window bounded by the compaction cadence."""
+        m = self.manifest(round_id)
+        if m is None or name not in m.get("logs", {}):
+            return None
+        deltas = m["logs"][name].get("deltas", [])
+        if not deltas:
+            return None
+        return self.spark.read.parquet(*deltas)
+
     def load_log_delta(self, name: str, delta_round: int) -> DataFrame:
         """Just the delta file group appended at ``delta_round``."""
         suffix = f"{os.sep}d{delta_round}"
