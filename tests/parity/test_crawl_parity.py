@@ -446,3 +446,21 @@ def test_pending_log_storage_contract(engine_run):
         live.groupBy("url_key").count().filter(F.col("count") > 1).count()
         == 0
     )
+
+
+def test_robots_broadcast_cutover_identical(
+    spark, world, tmp_path_factory, engine_run
+):
+    """robots_broadcast_limit=0 forces BOTH per-round robots joins
+    (rules evaluation, politeness quota) onto the plain shuffle path
+    from round 1 — the hint must only ever change the physical plan."""
+    job = _make_job(
+        spark,
+        world,
+        tmp_path_factory.mktemp("ckpt_rbc"),
+        robots_broadcast_limit=0,
+    )
+    job.start(world.seeds)
+    job.run(max_rounds=60)
+    assert job.final_state() == engine_run.final_state()
+    assert job.admitted_sequences() == engine_run.admitted_sequences()

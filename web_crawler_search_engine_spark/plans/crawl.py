@@ -112,6 +112,14 @@ class CrawlConfig:
     # maybe-set size above which the exact backstop abandons the
     # broadcast semi scan for a plain anti-join (operators/seen.py)
     bloom_broadcast_limit: int = 8_000_000
+    # on-disk byte size of the committed robots table above which the
+    # two per-round robots joins (rules evaluation, politeness quota)
+    # drop their broadcast hints: robots scales with HOSTS-EVER-SEEN,
+    # and a broadcast must never scale with an unbounded set. Checked
+    # from a driver-side file stat (no Spark job); past the limit the
+    # joins run as plain host-keyed shuffle joins — same rows either
+    # way (parity-tested with the limit forced to 0).
+    robots_broadcast_limit: int = 256 << 20
     # opt-in: ALSO maintain the seen-key set as a bucketed+sorted
     # catalog table (sources/ledger.py), so the non-broadcast seen
     # joins (use_bloom=False, and the Bloom cutover path) shuffle
@@ -236,6 +244,28 @@ class CrawlJob:
 
     def _pending_view(self) -> DataFrame:
         return self._plog_live().unionByName(self._fresh_view())
+
+    def _robots_hint(self):
+        """``F.broadcast`` while the committed robots table's on-disk
+        size (a free driver-side stat, no Spark job) is under
+        ``robots_broadcast_limit``; identity past it, so the two
+        robots joins degrade to plain host-keyed shuffle joins
+        instead of broadcasting a table that scales with every host
+        the crawl has ever contacted."""
+        m = self.store.manifest() or {}
+        path = m.get("tables", {}).get("robots")
+        if path is not None:
+            try:
+                total = sum(
+                    f.stat().st_size
+                    for f in Path(path).rglob("*")
+                    if f.is_file()
+                )
+            except OSError:
+                total = 0
+            if total > self.config.robots_broadcast_limit:
+                return lambda df: df
+        return F.broadcast
 
     # -- bucketed seen-ledger (sources/ledger.py) ----------------------
     def _ledger_table(self, version: int) -> str:
@@ -520,8 +550,14 @@ class CrawlJob:
             .distinct()
             .join(self.robots.select("host"), "host", "left_anti")
         )
+        # broadcast the BATCH-BOUNDED side (this round's first-contact
+        # hosts) into the network table, never the reverse — the
+        # robots source scales with the whole web's host count. A
+        # right join preserves every new_hosts row exactly like the
+        # old new_hosts-left form (hosts without robots keep null
+        # rules = permissive).
         fetched_robots = (
-            new_hosts.join(F.broadcast(self.robots_src), "host", "left")
+            self.robots_src.join(F.broadcast(new_hosts), "host", "right")
             .withColumn("crawl_delay", self._delay(F.col("rules")))
             .select(
                 "host",
@@ -540,9 +576,10 @@ class CrawlJob:
         #    it: the status-delta write, metrics, and the pending_log
         #    append — the can_fetch pandas UDF must run ONCE per
         #    round, not per action.
+        robots_bc = self._robots_hint()
         evaluated = (
             unevaluated.drop("allowed")
-            .join(F.broadcast(robots.select("host", "rules")), "host", "left")
+            .join(robots_bc(robots.select("host", "rules")), "host", "left")
             .withColumn("allowed", self._allows(F.col("rules"), F.col("url")))
             .drop("rules")
             .select(*_FRONTIER_COLS)
@@ -556,7 +593,7 @@ class CrawlJob:
 
         # 3. politeness admission (P7/J2/O5)
         with_quota = candidates.join(
-            F.broadcast(robots.select("host", "crawl_delay", "fetch_round")),
+            robots_bc(robots.select("host", "crawl_delay", "fetch_round")),
             "host",
             "left",
         ).withColumn(
