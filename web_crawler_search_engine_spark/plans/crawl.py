@@ -167,6 +167,9 @@ class CrawlJob:
         self.pending: DataFrame | None = None
         self.robots: DataFrame | None = None
         self.round: int = 0
+        # exact pending cardinality, tracked driver-side (seeded by
+        # one count at start/resume, then pure arithmetic per round)
+        self._n_pending: int = 0
         # next discovery_seq, tracked driver-side from per-round
         # new_urls counts; None => recompute lazily from the log
         self._base: int | None = None
@@ -452,6 +455,7 @@ class CrawlJob:
         self.pending = self._pending_view()
         self.robots = self.store.load("robots")
         self._base = self.pending.count()
+        self._n_pending = self._base
         self._n_seen = self._base
         self._seen_words = None
         self._delta_words = None
@@ -467,6 +471,9 @@ class CrawlJob:
         self.round = r
         self._base = None
         self.pending = self._pending_view()
+        # one composed count at resume; every round after is exact
+        # driver arithmetic (see run_round's pending bookkeeping)
+        self._n_pending = self.pending.count()
         self.robots = self.store.load("robots")
         self._seen_words = None
         self._delta_words = None
@@ -926,7 +933,17 @@ class CrawlJob:
             .asDict()
         )
         msum = {k: int(v or 0) for k, v in msum.items()}
-        n_pending = self.pending.count()
+        # exact pending bookkeeping with NO O(pending) count job:
+        # rows leave pending only via admission or denial and enter
+        # only via discovery, all disjoint subsets of the view, so
+        # |pending| is pure driver arithmetic. |admitted| is counted
+        # off the round's cache (the metrics 'admitted' column counts
+        # FETCHED rows, which a url_key hash collision could drop);
+        # |denied| and |new| are exact row counts from the committed
+        # metrics / the seq-assign prefix sum. Parity tests compare
+        # this against the oracle simulator every round.
+        self._n_pending += n_new - admitted.count() - msum["robots_denied"]
+        n_pending = self._n_pending
         self._base = base + msum["new_urls"]
 
         # refresh the in-memory filter from the COMMITTED log (the
