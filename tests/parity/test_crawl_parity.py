@@ -464,3 +464,38 @@ def test_robots_broadcast_cutover_identical(
     job.run(max_rounds=60)
     assert job.final_state() == engine_run.final_state()
     assert job.admitted_sequences() == engine_run.admitted_sequences()
+
+
+def test_commit_failure_mid_write_resumes_bitforbit(
+    spark, world, tmp_path_factory, engine_run, monkeypatch
+):
+    """Atomicity under the r3.7 threaded commit: a write job failing
+    MID-COMMIT (some sibling tables already on disk) must leave the
+    previous manifest current — the partial files unreferenced — and
+    a resumed job must reproduce the uninterrupted crawl bit-for-bit."""
+    import pyspark.sql.readwriter as RW
+
+    ckpt = tmp_path_factory.mktemp("ckpt_midfail")
+    job = _make_job(spark, world, ckpt)
+    job.start(world.seeds)
+    job.run_round()
+
+    orig = RW.DataFrameWriter.parquet
+    calls = {"n": 0}
+
+    def failing(self, path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:  # third write job of round 2's commit dies
+            raise RuntimeError("injected mid-commit failure")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", failing)
+    with pytest.raises(Exception):
+        job.run_round()
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", orig)
+
+    job2 = _make_job(spark, world, ckpt)
+    assert job2.resume() == 1  # round 2's manifest never published
+    job2.run(max_rounds=60)
+    assert job2.final_state() == engine_run.final_state()
+    assert job2.admitted_sequences() == engine_run.admitted_sequences()
