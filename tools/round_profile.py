@@ -11,6 +11,11 @@ action inside `run_round`, over a mid-size world, and prints a
 per-round breakdown so optimization is aimed by measurement:
 
     python tools/round_profile.py --n 8000 --cpus 8
+
+NOTE: under the r3.7 threaded commit the per-table write times are
+THREAD-wall (they overlap), so their sum exceeds the real wall time
+and `non_write_sec_per_round` can go negative; set
+SPARK_GRAFT_COMMIT_PARALLELISM=1 for additive attribution.
 """
 
 from __future__ import annotations
