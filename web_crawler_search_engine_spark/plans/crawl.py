@@ -668,12 +668,21 @@ class CrawlJob:
         canon = valid.select(
             U.canonicalize(F.col("raw_url")).alias("url"), "parent_seq", "pos", "depth"
         ).withColumn("url_key", F.xxhash64("url"))
-        # within-batch first-discovery-wins (frontier.py:137-146)
-        w_first = Window.partitionBy("url_key").orderBy("parent_seq", "pos")
+        # within-batch first-discovery-wins (frontier.py:137-146):
+        # min_by over (parent_seq, pos) — a TOTAL order per key, since
+        # pos is the per-parent posexplode index, so the winner is
+        # unique and identical to the old row_number()==1 window. An
+        # aggregation instead of a window because links repeat heavily
+        # within a round (many pages link the same targets): the
+        # partial agg collapses duplicates MAP-SIDE, shuffling ~one
+        # row per distinct key instead of every raw link, and skips
+        # the window's per-partition sort entirely.
+        _order = F.struct("parent_seq", "pos")
+        _row = F.struct("url", "parent_seq", "pos", "depth")
         batch_unique = (
-            canon.withColumn("_rn", F.row_number().over(w_first))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            canon.groupBy("url_key")
+            .agg(F.min_by(_row, _order).alias("_first"))
+            .select("url_key", "_first.*")
         )
         # seen-set anti-join, Bloom-accelerated (X1/P8): the Bloom
         # pre-filter only skips definite-unseen keys; the exact
