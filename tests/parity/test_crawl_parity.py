@@ -410,12 +410,18 @@ def test_resume_at_compaction_boundary_equals_uninterrupted(
 
 
 def test_pending_log_storage_contract(engine_run):
-    """r3.8: the per-round commit never rewrites an O(pending) table.
-    No manifest lists a 'pending' snapshot; each round's pending_log
-    delta is bounded by the PREVIOUS round's discoveries (the rows
-    evaluated this round) — the O(delta) write claim, checked against
-    the committed metrics; and the append-once invariant holds (no
-    key appears twice in the live pending_log)."""
+    """r3.8/r3.9: the per-round commit never rewrites an O(pending)
+    table. No manifest lists a 'pending' snapshot; each round's
+    pending_log delta is bounded by the PREVIOUS round's discoveries
+    (the rows evaluated this round) — the O(delta) write claim,
+    checked against the committed metrics; the append-once invariant
+    holds (no key appears twice in the live pending_log); the log is
+    hive-partitioned by pos_bucket (the admission-window prune's
+    storage contract); and the host_meta watermark arithmetic is
+    exact: per host, live positions are the dense range
+    [consumed, appended)."""
+    from pathlib import Path
+
     import pyspark.sql.functions as F
 
     store = engine_run.store
@@ -436,16 +442,113 @@ def test_pending_log_storage_contract(engine_run):
         rnd = int(path.rsplit("d", 1)[1])
         if rnd == 0:
             continue  # schema-establishing empty base
-        rows = engine_run.spark.read.parquet(path).count()
+        subs = [str(s) for s in Path(path).glob("pos_bucket=*")]
+        rows = (
+            engine_run.spark.read.parquet(*subs).count() if subs else 0
+        )
         assert rows <= new_urls_by_round.get(rnd - 1, 0), (
             f"pending_log delta d{rnd} has {rows} rows > round "
             f"{rnd - 1}'s {new_urls_by_round.get(rnd - 1, 0)} discoveries"
         )
+    # layout contract: pending_log dirs contain ONLY pos_bucket=
+    # partition subdirs (plus write markers) — what the pruned
+    # admission read enumerates
+    for path in store.log_paths("pending_log"):
+        p = Path(path)
+        if not p.exists():
+            continue
+        for child in p.iterdir():
+            assert child.name.startswith(("pos_bucket=", "_", ".")), (
+                f"unpartitioned object {child} in pending_log"
+            )
     live = engine_run._plog_live()
     assert (
         live.groupBy("url_key").count().filter(F.col("count") > 1).count()
         == 0
     )
+    _assert_watermark_dense(engine_run)
+
+
+def _assert_watermark_dense(job):
+    """Per host: live stored rows == appended - consumed, occupying
+    exactly positions [consumed, appended). This is the arithmetic
+    the r3.9 liveness filter and compaction rebase rely on."""
+    import pyspark.sql.functions as F
+
+    hm = {
+        r["host"]: (r["appended"], r["consumed"])
+        for r in job._host_meta().collect()
+    }
+    pos = (
+        job._plog_live_pos()
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("host_pos").alias("lo"),
+            F.max("host_pos").alias("hi"),
+        )
+        .collect()
+    )
+    seen_hosts = set()
+    for row in pos:
+        appended, consumed = hm[row["host"]]
+        seen_hosts.add(row["host"])
+        assert row["n"] == appended - consumed, row
+        assert row["lo"] == consumed, row
+        assert row["hi"] == appended - 1, row
+    for host, (appended, consumed) in hm.items():
+        if host not in seen_hosts:
+            assert appended == consumed, (host, appended, consumed)
+
+
+def test_deep_queue_bucket_pruning_bitforbit(spark, world, tmp_path_factory):
+    """r3.9 multi-bucket stress: politeness == round_duration makes
+    max_quota (the bucket width) 1, so per-host pending queues span
+    many pos_buckets including the tail cap, and every round's
+    admission window is a real prune (buckets 0..rounds-since-
+    compaction out of a deep layout). compact_every=2 exercises the
+    arithmetic rebase repeatedly mid-crawl. Bit-for-bit vs the round
+    oracle at the same politeness, with the dense-watermark invariant
+    checked after every round."""
+    sim = RoundSim(
+        world.by_url(),
+        world.robots,
+        world.root_domains,
+        user_agent=USER_AGENT,
+        politeness=T,
+        round_duration=T,
+    )
+    oracle = sim.run(world.seeds)
+    cfg = CrawlConfig(
+        root_domains=world.root_domains,
+        user_agent=USER_AGENT,
+        politeness=T,
+        round_duration=T,
+        salt_buckets=4,
+        host_buckets=4,
+        compact_every=2,
+    )
+    job = CrawlJob(
+        spark,
+        corpus_df(spark, world),
+        robots_src_df(spark, world),
+        cfg,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_deep")),
+    )
+    assert job._plog_bucket_width() == 1
+    job.start(world.seeds)
+    for _ in range(120):
+        info = job.run_round()
+        _assert_watermark_dense(job)
+        if info.get("pending", 0) == 0:
+            break
+    assert info.get("pending") == 0, "deep-queue crawl did not drain"
+    got = job.admitted_sequences()
+    want = {r: seq for r, seq in oracle.rounds.items() if seq}
+    assert got == want
+    assert job.final_state() == {
+        u: (st, oracle.lengths[u]) for u, st in oracle.statuses.items()
+    }
 
 
 def test_robots_broadcast_cutover_identical(

@@ -30,17 +30,23 @@ Scale design (the 100 TB / 10^10-URL point — what changed in r2):
     frontier is an APPEND-ONLY status log (discoveries, denials,
     fetches) with latest-wins compaction every ``compact_every``
     rounds (SURVEY §7.7.7 — the r1 full-snapshot rewrite is gone).
-    The ``pending`` working set (r3.8) is not stored at all — it is a
-    VIEW composed of the append-once ``pending_log`` (a row is
+    The ``pending`` working set (r3.8/r3.9) is not stored at all — it
+    is a VIEW composed of the append-once ``pending_log`` (a row is
     appended exactly once, when its robots evaluation admits it as a
-    candidate) minus the removal keys already present in the frontier
-    log's uncompacted deltas (fetched/denied rows), plus the latest
+    candidate), filtered by the per-host consumed WATERMARK (exits
+    from the log are exactly admissions, which drain each host's
+    queue strictly earliest-seq-first — a prefix, so liveness is
+    ``host_pos >= consumed[host]`` arithmetic against the O(hosts)
+    ``host_meta`` counters, no key anti-join), plus the latest
     round's still-unevaluated discoveries read straight off that
     round's frontier delta. Per round the engine writes O(delta)
     pending rows; the O(pending) rewrite happens only at compaction,
-    where the composed view becomes the new ``pending_log`` base.
-    Admission still SCANS the O(pending) view each round — that scan
-    is the scheduler's job and is embarrassingly parallel.
+    where the live view becomes the new ``pending_log`` base.
+    Admission (r3.9) reads only the pos_bucket-pruned window —
+    O(hosts · quota · compaction-cadence) rows, never the whole
+    O(pending) log: a Zipf-hot host's deep queue sits in buckets the
+    round provably cannot admit from. NO per-round read or write
+    scales with the frontier; only compaction touches O(pending).
   * The URL-seen Bloom filter is a (word_id, word) DataFrame updated
     by union + bit_or groupBy and probed with broadcast joins — all
     JVM codegen, no pandas UDF, no driver pass (operators/seen.py).
@@ -190,31 +196,154 @@ class CrawlJob:
         self._ledger_id = hashlib.md5(str(ckpt).encode()).hexdigest()[:12]
         self._ledger_version: int | None = None
         self._ledger_buckets: int | None = None
+        # admission-window bucket pruning is valid only while the
+        # stored pending_log layout matches THIS config's bucket math
+        # (resume() clears it on mismatch; compaction restores it)
+        self._plog_prune: bool = True
 
     # -- views over the append-only log --------------------------------
     def _log(self) -> DataFrame:
         return self.store.load_log("frontier_log")
 
-    # -- pending working set as a composed view (r3.8) ------------------
+    # -- pending working set as a composed view (r3.8/r3.9) -------------
     # A pending row lives in exactly one place at a time:
     #   * discovered last round  -> the latest frontier_log delta's
     #     status='pending' rows (allowed is null — not yet evaluated);
     #   * evaluated-and-allowed  -> one append-once ``pending_log``
     #     row (written the round it was evaluated, never updated);
-    #   * admitted or denied     -> gone: its fetched/robots_denied
-    #     row in a frontier delta is the REMOVAL record the view
-    #     anti-joins against (no tombstone table needed — the status
-    #     log already records every exit).
-    # Compaction folds the composed view into a fresh pending_log
-    # base in the same commit that clears the frontier deltas, so the
-    # removal window is always exactly the uncompacted deltas. Net:
-    # the per-round commit writes O(delta) pending rows, O(pending)
-    # only at compaction — the last O(frontier) per-round write gone.
-    def _removed_keys(self) -> DataFrame | None:
-        deltas = self.store.load_log_deltas("frontier_log")
-        if deltas is None:
-            return None
-        return deltas.filter(F.col("status") != "pending").select("url_key")
+    #   * admitted or denied     -> gone. r3.9 tracks exits by
+    #     ARITHMETIC, not keys: per host, exits from pending_log are
+    #     exactly admissions, and admission always takes the
+    #     earliest-discovery_seq rows first (denied rows never enter
+    #     the log) — so each host's queue is a strict FIFO whose
+    #     consumed rows are a PREFIX. Every log row carries
+    #     ``host_pos`` (its dense per-host arrival index) and the
+    #     O(hosts-with-pending) ``host_meta`` log tracks per-host
+    #     (appended, consumed) counters; live = host_pos >= consumed.
+    # Compaction folds the live view into a fresh pending_log base in
+    # the same commit that clears the frontier deltas, renumbering
+    # host_pos by pure arithmetic (host_pos - consumed — positions
+    # are dense, no per-host window needed) and rebasing host_meta to
+    # (live_count, 0). Net per round: O(delta) pending rows written,
+    # O(delta + hosts) rows READ for admission (the bucket-pruned
+    # window below), O(pending) touched only at compaction.
+    #
+    # Storage layout (the admission-window prune): pending_log dirs
+    # are hive-partitioned by pos_bucket = min(host_pos // B, CAP)
+    # with B = max politeness quota per round and CAP = compact_every
+    # + 1. Between compactions a host consumes <= B rows/round, so at
+    # admission time every row that could possibly rank inside any
+    # host's quota window sits in buckets 0..rounds_since_compaction
+    # — deeper buckets hold rows whose per-host rank provably exceeds
+    # the quota and are never read until compaction. A Zipf-hot host
+    # with a 10^9-row queue contributes O(B * compact_every) rows to
+    # the admission read instead of 10^9. (Iceberg analog: partition
+    # pruning served from manifest metadata; here the driver lists
+    # pos_bucket=* subdirs.)
+    def _plog_bucket_width(self) -> int:
+        cfg = self.config
+        return max(int(cfg.round_duration // cfg.politeness), 1)
+
+    def _plog_cap(self) -> int:
+        ce = self.config.compact_every
+        return (ce + 1) if ce else (1 << 20)
+
+    def _plog_bucket_col(self) -> F.Column:
+        b = self._plog_bucket_width()
+        return F.least(
+            F.floor(F.col("host_pos") / F.lit(b)), F.lit(self._plog_cap())
+        ).cast("int")
+
+    def _plog_subpaths(self, max_bucket: int | None = None) -> list[str]:
+        """Existing pos_bucket=k subdirs across the log's base+delta
+        dirs, optionally capped at ``max_bucket`` — the partition
+        pruning an Iceberg catalog would serve from manifests."""
+        out: list[str] = []
+        for p in self.store.log_paths("pending_log"):
+            root = Path(p)
+            if not root.exists():
+                continue
+            for sub in root.glob("pos_bucket=*"):
+                k = int(sub.name.split("=", 1)[1])
+                if max_bucket is None or k <= max_bucket:
+                    out.append(str(sub))
+        return out
+
+    def _plog_df(self, max_bucket: int | None = None) -> DataFrame:
+        paths = self._plog_subpaths(max_bucket)
+        if not paths:
+            from pyspark.sql.types import (
+                BooleanType,
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            schema = StructType(
+                list(FRONTIER.fields)
+                + [
+                    StructField("allowed", BooleanType(), True),
+                    StructField("host_pos", LongType(), True),
+                ]
+            )
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
+
+    def _host_meta(self) -> DataFrame:
+        """(host, appended, consumed) totals — the per-host FIFO
+        counters, summed over the host_meta log's O(hosts + rounds ·
+        active-hosts) delta rows. Hosts with nothing pending are
+        dropped at compaction, so this stays O(hosts-with-pending)."""
+        return (
+            self.store.load_log("host_meta")
+            .groupBy("host")
+            .agg(
+                F.sum("appended").alias("appended"),
+                F.sum("consumed").alias("consumed"),
+            )
+        )
+
+    def _plog_live_pos(self, max_bucket: int | None = None) -> DataFrame:
+        """Live pending_log rows (host_pos >= the host's consumed
+        watermark), keeping host_pos and the joined ``_consumed``
+        column for callers that rebase. No key anti-join: liveness is
+        a per-host range predicate against an O(hosts) side."""
+        rows = self._plog_df(max_bucket)
+        cons = self._host_meta().select(
+            "host", F.col("consumed").alias("_consumed")
+        )
+        return rows.join(cons, "host", "left").filter(
+            F.col("host_pos") >= F.coalesce(F.col("_consumed"), F.lit(0))
+        )
+
+    def _plog_live(self) -> DataFrame:
+        """Full live pending_log view (every bucket) — consumed by
+        compaction, tests, and the composed ``pending`` attribute.
+        Admission uses the bucket-pruned ``_plog_window`` instead."""
+        return self._plog_live_pos().select(*_FRONTIER_COLS)
+
+    def _plog_window(self) -> DataFrame:
+        """The admission candidate slice: buckets 0..rounds-since-
+        compaction, watermark-filtered. A SUPERSET of every host's
+        earliest-``max_quota`` live rows (ranks are dense from 0 at
+        the watermark, and excluded buckets hold only rows of rank
+        >= B — never admissible), so ``admit`` returns bit-identical
+        rows to ranking the full view. Falls back to the full view
+        when the stored layout predates this config's bucket math
+        (``_plog_prune`` cleared on resume mismatch; the next
+        compaction rewrites buckets at the current width)."""
+        if not self._plog_prune:
+            return self._plog_live()
+        rsc = self.store.log_delta_count("frontier_log")
+        return self._plog_live_pos(max_bucket=rsc).select(*_FRONTIER_COLS)
+
+    def _plog_meta(self) -> dict:
+        return {
+            "pending_log": {
+                "bucket_width": self._plog_bucket_width(),
+                "cap": self._plog_cap(),
+            }
+        }
 
     def _fresh_view(self) -> DataFrame:
         """Unevaluated discoveries of the LATEST committed round —
@@ -231,19 +360,6 @@ class CrawlJob:
                 F.col("round") == F.lit(self.round)
             )
         return d.filter(F.col("status") == "pending").select(*_FRONTIER_COLS)
-
-    def _plog_live(self) -> DataFrame:
-        """pending_log rows minus the frontier deltas' exit records.
-        Every pending_log row is evaluated-and-allowed (allowed=true)
-        and each key appears at most once — the append-once
-        invariant; compaction preserves it by rebasing from THIS view
-        (never folding in unevaluated rows). The anti-join right side
-        is O(rounds-since-compaction · batch) skinny keys."""
-        live = self.store.load_log("pending_log").select(*_FRONTIER_COLS)
-        removed = self._removed_keys()
-        if removed is not None:
-            live = live.join(removed, "url_key", "left_anti")
-        return live
 
     def _pending_view(self) -> DataFrame:
         return self._plog_live().unionByName(self._fresh_view())
@@ -435,23 +551,31 @@ class CrawlJob:
                     "buckets": self.config.seen_ledger_buckets,
                 }
             }
+        empty_host_meta = self.spark.createDataFrame(
+            [], "host string, appended long, consumed long"
+        )
         self.store.commit(
             0,
             tables={"robots": empty_robots},
             log_appends={
                 "frontier_log": frontier,
                 "token_log": empty_stats,
-                # schema-establishing empty base: seeds stay in the
+                # schema-establishing empty bases: seeds stay in the
                 # round-0 frontier delta (the _fresh_view slot) until
                 # round 1 evaluates them
-                "pending_log": frontier.limit(0),
+                "pending_log": frontier.limit(0)
+                .withColumn("host_pos", F.lit(0).cast("long"))
+                .withColumn("pos_bucket", F.lit(0).cast("int")),
+                "host_meta": empty_host_meta,
             },
+            partition_by={"pending_log": ["pos_bucket"]},
             options={
                 "frontier_log": KEY_BLOOM_OPTIONS,
                 "pending_log": KEY_BLOOM_OPTIONS,
             },
-            meta=ledger_meta,
+            meta={**(ledger_meta or {}), **self._plog_meta()},
         )
+        self._plog_prune = True
         self.pending = self._pending_view()
         self.robots = self.store.load("robots")
         self._base = self.pending.count()
@@ -481,9 +605,18 @@ class CrawlJob:
         # re-attach (or seed) the bucketed ledger lazily on the next
         # round — the committed manifest meta names the live version
         self._ledger_version = None
-        meta = (self.store.manifest() or {}).get("meta", {}).get("seen_bloom", {})
+        manifest_meta = (self.store.manifest() or {}).get("meta", {})
+        meta = manifest_meta.get("seen_bloom", {})
         self._m_bits = meta.get("m_bits")
         self._n_seen = meta.get("n_keys", 0)
+        # bucket pruning is only sound when the stored pos_bucket
+        # layout was written with THIS config's bucket math; on
+        # mismatch fall back to full-view admission (still correct —
+        # the watermark predicate is layout-independent) until the
+        # next compaction rewrites the buckets at the current width
+        stored = manifest_meta.get("pending_log", {})
+        want = self._plog_meta()["pending_log"]
+        self._plog_prune = stored == want
         return r
 
     # -- Bloom filter lifecycle ----------------------------------------
@@ -540,11 +673,12 @@ class CrawlJob:
     def run_round(self) -> dict:
         cfg = self.config
         r = self.round + 1
-        # structural split of the pending view (r3.8): the live
-        # pending_log rows (evaluated candidates — an O(pending) scan
-        # consumed once, by admission) and the latest round's
+        # structural split of the pending view (r3.8/r3.9): the
+        # bucket-pruned admission window over the live pending_log
+        # (O(hosts · B · rounds-since-compaction) rows read, NOT
+        # O(pending) — see _plog_window) and the latest round's
         # unevaluated discoveries (O(delta))
-        known = self._plog_live()
+        known = self._plog_window()
         unevaluated = self._fresh_view()
 
         # 1. robots fetch-once for first-contact hosts (P6/J1/U6).
@@ -820,16 +954,58 @@ class CrawlJob:
 
         # 9. pending_log append (r3.8): ONLY the rows evaluated this
         #    round that survive into the next pending set — each
-        #    pending row is appended exactly once; every exit
-        #    (fetched/denied) is already recorded by the status-log
-        #    delta below, which doubles as the pending view's removal
-        #    set. The commit writes O(delta) pending rows; the old
+        #    pending row is appended exactly once; exits are tracked
+        #    by the host_meta consumed watermark (r3.9), not keys.
+        #    The commit writes O(delta) pending rows; the old
         #    O(pending) snapshot rewrite happens only at compaction.
+        #
+        #    host_pos (r3.9): every evaluated-allowed row gets its
+        #    dense per-host arrival index — rank within this round's
+        #    O(delta) slice by discovery_seq (all earlier rows of the
+        #    host have strictly smaller seq, so cross-round order is
+        #    seq order), offset by the host's appended counter.
+        #    Same-round-admitted rows still COUNT (they are, per
+        #    host, exactly the seq-prefix of this slice, because
+        #    every stored live row precedes them in seq) — they just
+        #    never hit storage, and their positions land below the
+        #    consumed watermark the same commit advances.
+        allowed_rows = evaluated.filter(F.col("allowed"))
+        _w_pos = Window.partitionBy("host").orderBy("discovery_seq")
+        allowed_pos = (
+            allowed_rows.withColumn("_rk", F.row_number().over(_w_pos) - 1)
+            .join(
+                self._host_meta().select("host", "appended"), "host", "left"
+            )
+            .withColumn(
+                "host_pos",
+                (F.coalesce(F.col("appended"), F.lit(0)) + F.col("_rk")).cast(
+                    "long"
+                ),
+            )
+            .drop("_rk", "appended")
+        )
         admitted_keys = admitted.select("url_key")
         plog_append = (
-            evaluated.filter(F.col("allowed"))
-            .join(admitted_keys, "url_key", "left_anti")
-            .select(*_FRONTIER_COLS)
+            allowed_pos.join(admitted_keys, "url_key", "left_anti")
+            .select(*_FRONTIER_COLS, "host_pos")
+            .withColumn("pos_bucket", self._plog_bucket_col())
+        )
+        # per-host FIFO counter deltas: appended counts EVERY
+        # evaluated-allowed row (stored or same-round-admitted),
+        # consumed counts every admission — so appended - consumed is
+        # always the host's live stored-row count, and positions stay
+        # dense across rounds. O(active-hosts) rows.
+        _zl = F.lit(0).cast("long")
+        host_meta_delta = (
+            allowed_rows.groupBy("host")
+            .agg(F.count("*").cast("long").alias("appended"))
+            .withColumn("consumed", _zl)
+            .unionByName(
+                admitted.groupBy("host")
+                .agg(F.count("*").cast("long").alias("consumed"))
+                .withColumn("appended", _zl)
+                .select("host", "appended", "consumed")
+            )
         )
         log_delta = (
             denied.select(*_FRONTIER_COLS)
@@ -858,6 +1034,7 @@ class CrawlJob:
             "token_log": round_tokens,
             "pages": pages,
             "pending_log": plog_append,
+            "host_meta": host_meta_delta,
         }
         commit_compacts: dict[str, DataFrame] = {}
         bloom_meta = None
@@ -919,6 +1096,7 @@ class CrawlJob:
             log_appends=commit_appends,
             log_compact=commit_compacts or None,
             meta=bloom_meta,
+            partition_by={"pending_log": ["pos_bucket"]},
             options={
                 "frontier_log": KEY_BLOOM_OPTIONS,
                 "pending_log": KEY_BLOOM_OPTIONS,
@@ -994,21 +1172,47 @@ class CrawlJob:
         """Rewrite each log's base as its merged view and clear the
         delta list (Iceberg rewrite-data-files analog). The pages log
         is append-only facts — no merge needed, never compacted."""
+        # the live evaluated rows become the new pending_log base IN
+        # THE SAME COMMIT that clears the frontier deltas — a crash in
+        # between leaves the previous manifest's consistent pair
+        # current. This is the only O(pending) write; every round in
+        # between appends O(delta). The just-committed round's
+        # UNEVALUATED rows are NOT folded in (append-once invariant:
+        # evaluation would re-append them) — _fresh_view reads them
+        # off the compacted frontier base instead.
+        #
+        # r3.9 rebase: positions are dense per host and consumption is
+        # a prefix, so renumbering is PURE ARITHMETIC (host_pos -
+        # consumed) — no per-host window, no hot-host single-task
+        # sort. host_meta rebases to (live_count, 0) in the same
+        # commit, dropping fully-drained hosts.
+        live_pos = self._plog_live_pos()
+        plog_base = (
+            live_pos.withColumn(
+                "host_pos",
+                (
+                    F.col("host_pos") - F.coalesce(F.col("_consumed"), F.lit(0))
+                ).cast("long"),
+            )
+            .drop("_consumed")
+            .select(*_FRONTIER_COLS, "host_pos")
+            .withColumn("pos_bucket", self._plog_bucket_col())
+            .repartition(self.config.host_buckets, "host")
+        )
+        host_meta_base = (
+            self._host_meta()
+            .select(
+                "host",
+                (F.col("appended") - F.col("consumed")).alias("appended"),
+                F.lit(0).cast("long").alias("consumed"),
+            )
+            .filter(F.col("appended") > 0)
+        )
         compacted = {
             "frontier_log": self.frontier,
             "token_log": self.token_stats,
-            # the live evaluated rows become the new base IN THE SAME
-            # COMMIT that clears the frontier deltas (its removal
-            # window) — a crash in between leaves the previous
-            # manifest's consistent pair current. This is the only
-            # O(pending) write; every round in between appends
-            # O(delta). The just-committed round's UNEVALUATED rows
-            # are NOT folded in (append-once invariant: evaluation
-            # would re-append them) — _fresh_view reads them off the
-            # compacted frontier base instead.
-            "pending_log": self._plog_live().repartition(
-                self.config.host_buckets, "host"
-            ),
+            "pending_log": plog_base,
+            "host_meta": host_meta_base,
         }
         fold_bloom = self.config.use_bloom and self.store.log_delta_count(
             "seen_bloom"
@@ -1049,13 +1253,16 @@ class CrawlJob:
         self.store.commit(
             r,
             log_compact=compacted,
+            partition_by={"pending_log": ["pos_bucket"]},
             options={
                 "frontier_log": KEY_BLOOM_OPTIONS,
                 "pending_log": KEY_BLOOM_OPTIONS,
             },
             carry_tables=True,
-            meta=ledger_meta,
+            meta={**(ledger_meta or {}), **self._plog_meta()},
         )
+        # the rewrite re-established the current bucket math
+        self._plog_prune = True
         # re-resolve the composed view onto the compacted paths
         self.pending = self._pending_view()
         if old_ledger_version is not None:
