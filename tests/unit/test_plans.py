@@ -140,3 +140,22 @@ def test_domain_mix_single_corpus_scan(spark):
     window over source-cardinality rows), not re-scan the corpus."""
     p = _plan(catalog.q_domain_mix(spark, SF))
     assert p.count(") Scan parquet") == 1
+
+
+def test_image_pack_sharded_window_single_exchange(spark):
+    """Image packing shuffles ONCE (into the (aspect, host) shards);
+    the running-offset window is never global."""
+    p = _plan(catalog.q_image_pack(spark, SF))
+    assert p.count(") Exchange") == 1
+    assert "SinglePartition" not in p
+
+
+def test_image_align_jvm_only_partial_agg(spark):
+    """The CLIP-stand-in gate stays JVM-side (no Python eval in the
+    plan) and the per-image rollup is map-side combined (partial +
+    final HashAggregate pair), so the one shuffle carries skinny
+    (image_id, hit) pairs."""
+    p = _plan(catalog.q_image_align(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("HashAggregate") >= 2
+    assert "partial_count" in p or "partial" in p

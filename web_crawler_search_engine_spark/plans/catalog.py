@@ -4019,3 +4019,182 @@ GROUP BY p.token, p.true_cnt
 
 QUERIES.update({"q_cms_heavy_hitters": q_cms_heavy_hitters})
 ORACLE_SQL.update({"q_cms_heavy_hitters": _SQL_CMS})
+
+
+# ---------------------------------------------------------------------------
+# 60. image batch packing: aspect-bucketed pixel-budget assembly
+#
+# The vision twin of q_pack_contexts (NaViT, Dehghani et al. 2023:
+# patch-pack variable-resolution images into fixed token budgets;
+# SDXL-style aspect bucketing groups compatible shapes first). Images
+# are bucketed by aspect class, then packed into fixed PIXEL-budget
+# batches by a running offset — per (aspect, host) shard, so the
+# window parallelizes across shards exactly like a 100 TB packer's
+# independent output writers and never needs a global ordering.
+# Integer-only output; the oracle embeds the seeded corpus's
+# (image_id, host, w, h) rows as literal VALUES.
+
+_IMG_BATCH_PX = 16384  # pixel budget per packed batch (= four 64x64)
+
+
+def q_image_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE shuffle into (aspect, host) shards, then a
+    per-shard running-sum window — no SinglePartition exchange, no
+    global sort. Batch ids are local to the shard, mirroring how a
+    real pipeline packs per output shard with independent writers."""
+    from ..sources.corpus import corpus_df, generate_world
+
+    world = generate_world(n=120, hosts=4, seed=17, with_images=True)
+    corpus = corpus_df(spark, world).filter(F.col("bytes").isNotNull())
+    aspect = (
+        F.when(F.col("w") > F.col("h"), F.lit("wide"))
+        .when(F.col("w") < F.col("h"), F.lit("tall"))
+        .otherwise(F.lit("square"))
+    )
+    sized = corpus.select(
+        "image_id",
+        "host",
+        aspect.alias("aspect"),
+        (F.col("w") * F.col("h")).cast("long").alias("n_px"),
+    )
+    w = (
+        Window.partitionBy("aspect", "host")
+        .orderBy("image_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum("n_px").over(w) - F.col("n_px")
+    return sized.select(
+        "image_id",
+        "host",
+        "aspect",
+        "n_px",
+        offset.alias("px_offset"),
+        F.floor(offset / F.lit(_IMG_BATCH_PX)).cast("long").alias("batch"),
+        (offset % F.lit(_IMG_BATCH_PX)).cast("long").alias("batch_pos"),
+    )
+
+
+def _image_pack_sql() -> str:
+    from ..sources.corpus import generate_world
+
+    world = generate_world(n=120, hosts=4, seed=17, with_images=True)
+    vals = ", ".join(
+        f"('{r['image_id']}', '{r['host']}', {r['w']}, {r['h']})"
+        for r in world.rows
+        if r["bytes"] is not None
+    )
+    return f"""
+WITH img(image_id, host, w, h) AS (VALUES {vals}),
+sized AS (
+  SELECT image_id, host,
+         CASE WHEN w > h THEN 'wide'
+              WHEN w < h THEN 'tall' ELSE 'square' END AS aspect,
+         (w * h)::BIGINT AS n_px
+  FROM img),
+packed AS (
+  SELECT image_id, host, aspect, n_px,
+         sum(n_px) OVER (PARTITION BY aspect, host ORDER BY image_id
+                         ROWS UNBOUNDED PRECEDING) - n_px AS px_offset
+  FROM sized)
+SELECT image_id, host, aspect, n_px, px_offset,
+       (px_offset // {_IMG_BATCH_PX})::BIGINT AS batch,
+       (px_offset % {_IMG_BATCH_PX})::BIGINT AS batch_pos
+FROM packed
+"""
+
+
+QUERIES.update({"q_image_pack": q_image_pack})
+ORACLE_SQL.update({"q_image_pack": _image_pack_sql()})
+
+
+# ---------------------------------------------------------------------------
+# 61. caption-image alignment gate (CLIP-score stand-in, real plumbing)
+#
+# The curation step CLIP filtering performs (Radford et al. 2021;
+# LAION-style "keep pairs with image-text similarity >= t") with the
+# model swapped for a deterministic stand-in the sandbox can verify
+# exactly: the image-side signature is the STORED 64-bit phash, the
+# text side probes one signature bit per caption token (portable-hash
+# bit index), and the alignment score is the hit fraction in exact
+# integer ppm. The Spark plumbing IS the production shape — token
+# explode, per-token bit probe against a 64-bit image signature,
+# map-side-combined groupBy, threshold gate; a real deployment swaps
+# the bit probe for an Arrow-batched CLIP UDF and keeps every stage
+# around it. Bit indices live in 0..62 so the mask `1::BIGINT << idx`
+# is overflow-free in both engines (the sign bit is never probed).
+
+_ALIGN_KEEP_PPM = 500_000  # keep pairs scoring >= 0.5
+
+
+def q_image_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one explode at caption-token volume feeding a
+    map-side-combined groupBy(image_id) — the only shuffle carries
+    (image_id, hit) pairs, and the threshold gate is a projection."""
+    from ..sources.corpus import corpus_df, generate_world
+
+    world = generate_world(n=120, hosts=4, seed=17, with_images=True)
+    corpus = corpus_df(spark, world).filter(F.col("bytes").isNotNull())
+    toks = corpus.select(
+        "image_id",
+        "phash",
+        F.explode(F.split(F.col("caption"), " ")).alias("token"),
+    ).withColumn(
+        "bit_idx",
+        F.pmod(_phash(F.concat(F.lit("al:"), F.col("token"))), F.lit(63)),
+    )
+    hit = (
+        F.col("phash").bitwiseAND(
+            F.expr("shiftleft(CAST(1 AS BIGINT), bit_idx)")
+        )
+        != 0
+    ).cast("long")
+    scored = (
+        toks.select("image_id", hit.alias("hit"))
+        .groupBy("image_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("hit").cast("long").alias("hits"),
+        )
+    )
+    ppm = F.expr("(1000000 * hits) div n_tokens")
+    return scored.select(
+        "image_id",
+        "n_tokens",
+        "hits",
+        ppm.alias("align_ppm"),
+        (ppm >= F.lit(_ALIGN_KEEP_PPM)).alias("keep"),
+    )
+
+
+def _image_align_sql() -> str:
+    from ..sources.corpus import generate_world
+
+    world = generate_world(n=120, hosts=4, seed=17, with_images=True)
+    vals = ", ".join(
+        "('{0}', '{1}', {2})".format(
+            r["image_id"], r["caption"].replace("'", "''"), r["phash"]
+        )
+        for r in world.rows
+        if r["bytes"] is not None
+    )
+    bit_idx = "(" + _PHASH_SQL.format("'al:' || token") + f") % 63"
+    return f"""
+WITH img(image_id, caption, phash) AS (VALUES {vals}),
+toks AS (
+  SELECT image_id, phash,
+         unnest(string_split(caption, ' ')) AS token
+  FROM img),
+bits AS (
+  SELECT image_id,
+         CASE WHEN (phash & (1::BIGINT << ({bit_idx}))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM toks)
+SELECT image_id, count(*)::BIGINT AS n_tokens, sum(hit)::BIGINT AS hits,
+       ((1000000 * sum(hit)) // count(*))::BIGINT AS align_ppm,
+       ((1000000 * sum(hit)) // count(*)) >= {_ALIGN_KEEP_PPM} AS keep
+FROM bits GROUP BY image_id
+"""
+
+
+QUERIES.update({"q_image_align": q_image_align})
+ORACLE_SQL.update({"q_image_align": _image_align_sql()})
