@@ -558,6 +558,30 @@ def bench_image_rehearsal(spark: SparkSession, n: int, cpus: int) -> dict:
         + phases["caption_carry_rollup"]
     )
     corpus.unpersist()
+
+    # --- real-codec decode sidecar (fixed size, NOT in the headline
+    # total: the phash phases above run at n, this measures the
+    # Arrow-batched decode UDF pushing REAL from-spec PNG/T.81-JPEG
+    # bytes, the stage a 100 TB image pipeline spends its CPU in) ---
+    n_img = int(os.environ.get("SPARK_GRAFT_IMG_BLOBS", "2048"))
+    blobs = _synth_blob_corpus(spark, n_img).persist(
+        StorageLevel.MEMORY_ONLY
+    )
+    t0 = time.monotonic()
+    mb = (
+        blobs.agg(F.sum(F.length("bytes"))).collect()[0][0] or 0
+    ) / 1e6
+    _phase("blob_encode_cache_one_time", t0)
+    from web_crawler_search_engine_spark.images.udfs import phash_of
+
+    t0 = time.monotonic()
+    _run_to_completion(
+        blobs.select(phash_of(F.col("bytes"), F.col("fmt")).alias("ph"))
+    )
+    decode_s = time.monotonic() - t0
+    _phase("decode_phash_real_codec", t0)
+    blobs.unpersist()
+
     return {
         "images": n,
         "kept": n_keep,
@@ -565,7 +589,40 @@ def bench_image_rehearsal(spark: SparkSession, n: int, cpus: int) -> dict:
         "phases": phases,
         "frontier_sched_sec": round(total, 3),  # keyed for _min_rep
         "images_per_sec": round(n / total, 1),
+        "decode_blobs": n_img,
+        "decode_mb": round(mb, 2),
+        "decode_mb_per_sec": round(mb / decode_s, 2),
+        "decode_images_per_sec": round(n_img / decode_s, 1),
     }
+
+
+def _synth_blob_corpus(spark: SparkSession, n_img: int):
+    """n_img REAL encoded image blobs, built executor-side (never
+    driver-materialized): deterministic 32x32 pixels from the row id,
+    encoded with the from-spec codecs — PNG (even ids) and baseline
+    T.81 JPEG (odd ids) — via mapInPandas, one task per partition."""
+    import pandas as pd  # noqa: F811 (executor-side import mirror)
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from web_crawler_search_engine_spark.images import codec
+
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                i = int(i)
+                rng = np.random.RandomState(i % (2**31))
+                px = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+                fmt = "png" if i % 2 == 0 else "jpeg"
+                rows.append((i, codec.encode(px, fmt), fmt))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "fmt"]
+            )
+
+    base = spark.range(0, n_img, 1, numPartitions=64)
+    return base.mapInPandas(fn, "image_id long, bytes binary, fmt string")
 
 
 def _min_rep(reps: list[dict]) -> dict:
