@@ -29,6 +29,11 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
        first-seen phash dedup + banded Hamming pairs + caption carry
        over a synthesized dup-structured phash corpus
        (SPARK_GRAFT_FRONTIER rows; default 2x lineitem),
+     SPARK_GRAFT_BENCH_MODE=ann_rehearsal: similarity-search axis —
+       brute-force cosine top-3 vs IVF multiprobe (8-bit LSH coarse
+       quantizer) for SPARK_GRAFT_ANN_QUERIES (default 32) queries
+       over a synthesized float-vector corpus; reports speedup,
+       candidate-pair volumes, and recall@3,
      SPARK_GRAFT_BENCH_MODE=delta_rehearsal + SPARK_GRAFT_DELTA:
        O(delta) evidence mode — fixed-size link delta against a
        standing seen-state of SPARK_GRAFT_FRONTIER keys, probe /
@@ -625,6 +630,139 @@ def _synth_blob_corpus(spark: SparkSession, n_img: int):
     return base.mapInPandas(fn, "image_id long, bytes binary, fmt string")
 
 
+def synth_embedding_corpus(spark: SparkSession, n: int, dims: int = 64):
+    """n deterministic 64-dim float vectors built entirely JVM-side
+    from key ranges (never driver-materialized), with the cluster
+    structure the similarity operators exist for (same discipline as
+    synth_image_corpus): every ~4 rows share one base vector, copy 0
+    exact, copies 1-3 plus 5% component noise — so each query's true
+    top-3 are its near-identical clones (cosine ≈ 1), the workload a
+    dedup/retrieval corpus actually presents. Fixed 64 partitions,
+    only cores vary."""
+    n_base = max(n // 4, 1)
+    base = spark.range(0, n, 1, numPartitions=64).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % F.lit(n_base)).alias("cl"),
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda d: (
+            (F.xxhash64(F.lit("base"), F.col("cl"), d) % F.lit(1000001))
+            / 1000000.0
+            + F.when(
+                F.col("vec_id") >= n_base,
+                (
+                    F.xxhash64(F.lit("noise"), F.col("vec_id"), d)
+                    % F.lit(1000001)
+                )
+                / 20000000.0,
+            ).otherwise(F.lit(0.0))
+        ).cast("float"),
+    )
+    return base.select("vec_id", emb.alias("embedding"))
+
+
+def bench_ann_rehearsal(spark: SparkSession, n: int, cpus: int) -> dict:
+    """Similarity-search axis: exact brute-force cosine top-3 vs the
+    IVF-shaped multiprobe search (8-bit LSH coarse quantizer, own cell
+    + 8 Hamming-1 cells) for the same queries over the same corpus —
+    the two real operators behind catalog q_ann_cosine_topk /
+    q_ann_ivf_topk, at bench scale. Reports the speedup AND the
+    recall@3 the approximation buys it, plus candidate-pair volumes
+    (brute = Q·n by construction; IVF = what the 9/256-cell probe
+    actually scored)."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from web_crawler_search_engine_spark.plans.catalog import (
+        _cosine,
+        _lsh_bucket_col,
+    )
+
+    phases: dict[str, float] = {}
+
+    def _phase(name: str, t_start: float) -> None:
+        phases[name] = round(time.monotonic() - t_start, 3)
+        print(f"[bench] {name}: {phases[name]:.1f}s", file=sys.stderr)
+
+    t0 = time.monotonic()
+    corpus = (
+        synth_embedding_corpus(spark, n)
+        .withColumn("bucket", _lsh_bucket_col(F.col("embedding")))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    _run_to_completion(corpus)
+    _phase("gen_cache_one_time", t0)
+
+    n_q = int(os.environ.get("SPARK_GRAFT_ANN_QUERIES", "32"))
+    k = 3
+    q = corpus.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = F.round(_cosine(F.col("qv"), F.col("embedding")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+
+    def _topk(scored):
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos")
+        )
+
+    t0 = time.monotonic()
+    brute_rows = _topk(
+        F.broadcast(q)
+        .join(corpus, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+        )
+    ).collect()
+    brute_s = time.monotonic() - t0
+    _phase("brute_force_topk", t0)
+
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << h)) for h in range(8)],
+    )
+    qp = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    ivf_cand = F.broadcast(qp).join(corpus, ["bucket"]).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    t0 = time.monotonic()
+    ivf_rows = _topk(
+        ivf_cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+        )
+    ).collect()
+    ivf_s = time.monotonic() - t0
+    _phase("ivf_multiprobe_topk", t0)
+
+    # untimed audit: how many pairs the probe actually scored
+    n_cand = ivf_cand.count()
+    corpus.unpersist()
+
+    bset = {(r.query_id, r.neighbor_id) for r in brute_rows}
+    iset = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    total = brute_s + ivf_s
+    return {
+        "vectors": n,
+        "queries_n": n_q,
+        "k": k,
+        "phases": phases,
+        "frontier_sched_sec": round(total, 3),  # keyed for _min_rep
+        "brute_pairs": n_q * (n - 1),
+        "ivf_pairs": n_cand,
+        "ivf_pair_fraction": round(n_cand / (n_q * (n - 1)), 4),
+        "ivf_speedup": round(brute_s / ivf_s, 2),
+        "recall_at_3": round(len(bset & iset) / max(len(bset), 1), 4),
+        "brute_pairs_per_sec": round(n_q * (n - 1) / brute_s, 1),
+    }
+
+
 def _min_rep(reps: list[dict]) -> dict:
     return min(reps, key=lambda r: r["frontier_sched_sec"])
 
@@ -689,6 +827,31 @@ def main() -> None:
         best = _min_rep(reps)
         out = {
             "metric": "image_curate_sec",
+            "value": best["frontier_sched_sec"],
+            "unit": "sec",
+            "sf": None,
+            "cpus": cpus,
+            "reps_sec": [r["frontier_sched_sec"] for r in reps],
+            "phase_reps": {
+                p: [r["phases"].get(p) for r in reps]
+                for p in reps[0]["phases"]
+            },
+            **best,
+        }
+        print(json.dumps(out))
+        return
+
+    if mode == "ann_rehearsal":
+        # embedding-axis corpus: 1x lineitem rows at this sf by default
+        n_vec = int(
+            os.environ.get("SPARK_GRAFT_FRONTIER", str(default_n // 10))
+        )
+        reps = [
+            bench_ann_rehearsal(spark, n_vec, cpus) for _ in range(n_reps)
+        ]
+        best = _min_rep(reps)
+        out = {
+            "metric": "ann_search_sec",
             "value": best["frontier_sched_sec"],
             "unit": "sec",
             "sf": None,
