@@ -674,9 +674,9 @@ def bench_ann_rehearsal(spark: SparkSession, n: int, cpus: int) -> dict:
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
-    from web_crawler_search_engine_spark.plans.catalog import (
-        _cosine,
-        _lsh_bucket_col,
+    from web_crawler_search_engine_spark.functions.vectors import (
+        cosine as _cosine,
+        lsh_bucket_col as _lsh_bucket_col,
     )
 
     phases: dict[str, float] = {}

@@ -20,10 +20,12 @@ Portability notes (Spark ⟷ DuckDB):
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine as _cosine
+from ..functions.vectors import lsh_bucket_col as _lsh_bucket_col
+from ..functions.vectors import lsh_planes as _lsh_planes
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -56,46 +58,10 @@ _TOKENS_SQL = (
 )
 
 
-def _lsh_planes(n_planes: int = 8, dims: int = 64) -> list[list[int]]:
-    """INTEGER hyperplane weights in [-2048, 2047], derived at
-    plan-build time from md5(f"{plane}_{dim}") — the same pseudo-random
-    stream both engines previously recomputed per row. Precomputing
-    kills 512 per-row md5 calls AND makes the weights literal
-    constants, identical across engines by construction."""
-    return [
-        [
-            int(hashlib.md5(f"{h}_{d}".encode()).hexdigest()[:3], 16) - 2048
-            for d in range(1, dims + 1)
-        ]
-        for h in range(n_planes)
-    ]
-
-
-def _lsh_bucket_col(emb_col, n_planes: int = 8):
-    """Random-hyperplane LSH bucket as a pure JVM Column expression.
-
-    ulp-proof sign test (the r1 hash fail): the embedding is quantized
-    to BIGINT (floor(x·10⁶) — floor of an exact IEEE double product is
-    engine-independent), the hyperplane weights are BIGINTs, so the
-    dot product is an exact integer sum whose sign cannot drift with
-    summation order. Positive scaling (10⁶/2048) never flips a sign,
-    so the bucket equals the real-valued hyperplane side except within
-    quantization noise of the plane itself — fine for LSH (any
-    consistent tie rule works) and exactly reproducible."""
-    qx = F.transform(
-        emb_col, lambda x: F.floor(x.cast("double") * 1000000.0).cast("long")
-    )
-    bucket = None
-    for h, weights in enumerate(_lsh_planes(n_planes)):
-        warr = F.array(*[F.lit(w).cast("long") for w in weights])
-        dot = F.aggregate(
-            F.zip_with(qx, warr, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(dot >= 0, F.lit(1 << h)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("long")
+# _lsh_planes / _lsh_bucket_col live in functions/vectors.py (shared
+# with plans/ann.py and the bench ann_rehearsal mode); the module-level
+# aliases are imported at the top of this file. The SQL twins below
+# stay here with the rest of the oracle text.
 
 
 def _lsh_planes_values_sql(n_planes: int = 8) -> str:
@@ -1138,27 +1104,9 @@ _EMB_DUPES_SQL = """
 """
 
 
-def _cosine(a, b):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    n1 = F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    n2 = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return dot / (n1 * n2)
+# _cosine lives in functions/vectors.py (shared with plans/ann.py and
+# the bench ann_rehearsal mode); the module-level alias is imported at
+# the top of this file.
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
