@@ -810,6 +810,19 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if master.startswith("local-cluster"):
+        # real executor JVMs spawn their own Python workers, which
+        # don't inherit the driver's cwd on sys.path — ship the
+        # engine package exactly as spark-submit --py-files would
+        import contextlib
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+        import make_pyfiles
+
+        with contextlib.redirect_stdout(sys.stderr):  # keep stdout JSON-only
+            bundle = make_pyfiles.main()
+        spark.sparkContext.addPyFile(str(bundle))
 
     # frontier size: ~10x lineitem rows at this sf (600k rows -> 6M URLs)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -917,19 +930,23 @@ def main() -> None:
 
     # image-axis throughput in the official record (graft cell
     # pyspark × image): one fifth of the frontier size through the
-    # curation pipeline, min-of-2 in the same JVM
-    img_reps = [
-        bench_image_rehearsal(spark, max(n // 5, 10_000), cpus)
-        for _ in range(min(n_reps, 2))
-    ]
-    img_best = _min_rep(img_reps)
-    per_query["image_rehearsal"] = img_best["frontier_sched_sec"]
+    # curation pipeline, min-of-2 in the same JVM. Scaling harnesses
+    # set SPARK_GRAFT_BENCH_SIDECARS=0 to measure the frontier alone.
+    sidecars = os.environ.get("SPARK_GRAFT_BENCH_SIDECARS", "1") != "0"
+    img_best = ann_rep = None
+    if sidecars:
+        img_reps = [
+            bench_image_rehearsal(spark, max(n // 5, 10_000), cpus)
+            for _ in range(min(n_reps, 2))
+        ]
+        img_best = _min_rep(img_reps)
+        per_query["image_rehearsal"] = img_best["frontier_sched_sec"]
 
-    # similarity-search axis in the official record: 1/20th of the
-    # frontier size through brute-force-vs-IVF, single rep (the full
-    # min-of-N sweep lives in ann_rehearsal mode)
-    ann_rep = bench_ann_rehearsal(spark, max(n // 20, 10_000), cpus)
-    per_query["ann_rehearsal"] = ann_rep["frontier_sched_sec"]
+        # similarity-search axis in the official record: 1/20th of the
+        # frontier size through brute-force-vs-IVF, single rep (the full
+        # min-of-N sweep lives in ann_rehearsal mode)
+        ann_rep = bench_ann_rehearsal(spark, max(n // 20, 10_000), cpus)
+        per_query["ann_rehearsal"] = ann_rep["frontier_sched_sec"]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -945,14 +962,22 @@ def main() -> None:
         "phase_reps": {
             p: [r["phases"].get(p) for r in reps] for p in reps[0]["phases"]
         },
-        "image_curate_sec": img_best["frontier_sched_sec"],
-        "images": img_best["images"],
-        "images_per_sec": img_best["images_per_sec"],
-        "image_reps_sec": [r["frontier_sched_sec"] for r in img_reps],
-        "ann_search_sec": ann_rep["frontier_sched_sec"],
-        "ann_vectors": ann_rep["vectors"],
-        "ann_ivf_speedup": ann_rep["ivf_speedup"],
-        "ann_recall_at_3": ann_rep["recall_at_3"],
+        **(
+            {
+                "image_curate_sec": img_best["frontier_sched_sec"],
+                "images": img_best["images"],
+                "images_per_sec": img_best["images_per_sec"],
+                "image_reps_sec": [
+                    r["frontier_sched_sec"] for r in img_reps
+                ],
+                "ann_search_sec": ann_rep["frontier_sched_sec"],
+                "ann_vectors": ann_rep["vectors"],
+                "ann_ivf_speedup": ann_rep["ivf_speedup"],
+                "ann_recall_at_3": ann_rep["recall_at_3"],
+            }
+            if sidecars
+            else {}
+        ),
         **frontier,
     }
     print(json.dumps(out))

@@ -42,6 +42,7 @@ def run_level(n_execs: int, cores: int, mem_mb: int, n: int, reps: int) -> dict:
             ),
             "SPARK_GRAFT_FRONTIER": str(n),
             "SPARK_GRAFT_BENCH_QUERIES": "none",  # frontier round only
+            "SPARK_GRAFT_BENCH_SIDECARS": "0",
             "SPARK_GRAFT_BENCH_REPS": str(reps),
             # driver does no heavy work in the round; keep its heap
             # small so executor heaps dominate the footprint
@@ -55,8 +56,16 @@ def run_level(n_execs: int, cores: int, mem_mb: int, n: int, reps: int) -> dict:
         text=True,
         timeout=3600,
     )
-    line = out.stdout.strip().splitlines()[-1]
-    d = json.loads(line)
+    lines = [
+        ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")
+    ]
+    if not lines:
+        tail = "\n".join(out.stderr.strip().splitlines()[-15:])
+        raise RuntimeError(
+            f"bench.py produced no JSON at {n_execs} executors "
+            f"(exit {out.returncode}); stderr tail:\n{tail}"
+        )
+    d = json.loads(lines[-1])
     return {
         "executors": n_execs,
         "cores_each": cores,
