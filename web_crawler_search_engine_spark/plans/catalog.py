@@ -145,14 +145,17 @@ def q_top5_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     top = rev.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(5)
-    return (
-        top.join(F.broadcast(orders), top.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .select(
-            F.col("l_orderkey").alias("orderkey"),
-            "revenue",
-            F.col("c_name").alias("customer"),
-        )
+    # broadcast the k-row TOP side into the data-sized tables, never the
+    # reverse: orders/customer grow with the corpus, top is always k rows
+    with_cust = F.broadcast(
+        F.broadcast(top)
+        .join(orders, top.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "revenue", "o_custkey")
+    )
+    return with_cust.join(cust, with_cust.o_custkey == cust.c_custkey).select(
+        F.col("l_orderkey").alias("orderkey"),
+        "revenue",
+        F.col("c_name").alias("customer"),
     )
 
 
@@ -504,9 +507,11 @@ def q_search_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("tfidf"), 3).alias("score")
     )
     top = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(5)
-    return top.join(F.broadcast(docs.select("doc_id", "source")), "doc_id").select(
-        "doc_id", "score", "source"
-    )
+    # broadcast the 5-row side into the corpus-sized docs table (the
+    # engine's own J3 does the same: search.py broadcasts the results)
+    return F.broadcast(top).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("doc_id", "score", "source")
 
 
 _SQL_SEARCH = f"""
