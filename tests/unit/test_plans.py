@@ -34,6 +34,10 @@ def test_search_top5_is_take_ordered_with_broadcast(spark):
     p = _plan(catalog.q_search_top5(spark, SF))
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p
+    # the BUILD side must be the 5-row top, never the corpus-sized docs
+    # table: the top side is composed on the left, so every broadcast
+    # join here is BuildLeft (a BuildRight would mean docs got built)
+    assert "BuildLeft" in p and "BuildRight" not in p
 
 
 def test_semi_and_anti_joins_planned_as_joins(spark):
@@ -52,7 +56,11 @@ def test_url_canonicalize_single_stage_no_shuffle(spark):
 
 def test_top5_orders_broadcasts_dimensions(spark):
     p = _plan(catalog.q_top5_orders(spark, SF))
-    assert p.count("BroadcastHashJoin") >= 2  # orders and customer sides
+    assert p.count("BroadcastHashJoin") >= 2  # both metadata lookups
+    # both joins build the k-row ranked side (composed left), never the
+    # data-sized orders/customer tables — the 100 TB-fatal shape
+    assert "BuildRight" not in p
+    assert p.count("BuildLeft") >= 2
 
 
 def test_lang_id_broadcasts_stopword_dim(spark):
