@@ -55,9 +55,17 @@ def curate(corpus, min_pixels, min_bpp, min_caption_tokens, max_hamming):
     cap_toks = F.size(F.split("caption", " ")).cast("long")
     scored = corpus.withColumn("n_pixels", n_pixels).withColumn(
         "quality_keep",
-        (n_pixels >= min_pixels)
-        & ((n_bytes / n_pixels) >= min_bpp)
-        & (cap_toks >= min_caption_tokens),
+        # coalesce: a null anywhere in the predicate (null bytes/w/h/
+        # caption => null bpp or token count => three-valued null)
+        # must DROP the row, not give it keep=NULL — a NULL keep
+        # falls out of both the kept and dropped outputs and breaks
+        # the metrics partition (input = kept + quality + neardup)
+        F.coalesce(
+            (n_pixels >= min_pixels)
+            & ((n_bytes / n_pixels) >= min_bpp)
+            & (cap_toks >= min_caption_tokens),
+            F.lit(False),
+        ),
     )
 
     ids = corpus.select("image_id", "phash")

@@ -35,6 +35,7 @@ from web_crawler_search_engine_spark.operators.seen import (
 from web_crawler_search_engine_spark.sources.ledger import (
     compact_bucketed_ledger,
     read_bucketed_ledger,
+    retire_ledger_version,
     write_bucketed_ledger,
 )
 
@@ -124,10 +125,21 @@ def test_append_then_compact_preserves_rows_and_layout(
     assert _node_names(plan).count("Exchange") == 1
     assert len(glob.glob(os.path.join(path, "*.parquet"))) == 2 * BUCKETS
 
-    compact_bucketed_ledger(spark, "t_seen_ledger", path, buckets=BUCKETS)
-    lt = read_bucketed_ledger(spark, "t_seen_ledger")
-    assert len(glob.glob(os.path.join(path, "*.parquet"))) == BUCKETS
+    # versioned compaction: the new copy lands beside the live one,
+    # which stays intact (and readable) until explicitly retired
+    path2 = path + "_v2"
+    compact_bucketed_ledger(
+        spark, "t_seen_ledger", path, "t_seen_ledger_v2", path2,
+        buckets=BUCKETS,
+    )
+    assert read_bucketed_ledger(spark, "t_seen_ledger").count() == 150_000
+    lt = read_bucketed_ledger(spark, "t_seen_ledger_v2")
+    assert len(glob.glob(os.path.join(path2, "*.parquet"))) == BUCKETS
     assert lt.count() == 150_000
+    retire_ledger_version(spark, "t_seen_ledger", path)
+    assert not os.path.exists(path)
+    assert read_bucketed_ledger(spark, "t_seen_ledger_v2").count() == 150_000
+    spark.sql("DROP TABLE IF EXISTS t_seen_ledger_v2")
 
 
 def test_bloom_cutover_rides_the_bucketed_layout(spark, ledger, no_broadcast):

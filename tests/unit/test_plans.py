@@ -167,3 +167,49 @@ def test_image_align_jvm_only_partial_agg(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("HashAggregate") >= 2
     assert "partial_count" in p or "partial" in p
+
+
+def test_robots_fetch_once_builds_the_bounded_side(spark):
+    """S5's first-contact robots fetch must never broadcast the
+    host-scaled robots source. The semantically-equivalent outer join
+    can ONLY build its non-preserved (robots) side — Spark silently
+    drops a broadcast hint on the preserved side — so the operator is
+    composed as semi + anti, each building the batch-bounded set."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_search_engine_spark.plans.crawl import (
+        robots_fetch_once,
+    )
+
+    robots_src = spark.range(0, 100_000).select(
+        F.concat(F.lit("h"), F.col("id")).alias("host"),
+        F.lit("User-agent: *").alias("rules"),
+    )
+    # 25 hosts robots_src knows (h0..h24), 25 it has never seen
+    new_hosts = spark.range(0, 50).select(
+        F.when(
+            F.col("id") < 25, F.concat(F.lit("h"), F.col("id"))
+        )
+        .otherwise(F.concat(F.lit("nosuch"), F.col("id")))
+        .alias("host")
+    )
+    fetched, hit = robots_fetch_once(
+        robots_src, new_hosts, lambda rules: F.lit(0.5), 3
+    )
+    try:
+        p = _plan(fetched)
+        # both joins build right = the bounded set; the outer form
+        # would show a RightOuter/LeftOuter building robots_src
+        assert "LeftSemi" in p and "LeftAnti" in p
+        assert "Outer" not in p
+        for frag in p.split("BroadcastHashJoin")[1:]:
+            assert "BuildLeft" not in frag.split("\n")[0]
+        # semantics: every first-contact host exactly once, null rules
+        # where robots_src has no row
+        rows = {r["host"]: r for r in fetched.collect()}
+        assert len(rows) == 50
+        assert rows["h0"]["rules"] is not None
+        assert rows["nosuch30"]["rules"] is None
+        assert all(r["fetched"] and r["fetch_round"] == 3 for r in rows.values())
+    finally:
+        hit.unpersist()

@@ -548,9 +548,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             if end < 0:
                 raise ValueError("missing EOI")
             raw = data[pos:end]
-            for m in range(256):  # any unstuffed marker inside = unsupported
-                if m != 0 and raw.find(bytes([0xFF, m])) >= 0:
+            # any unstuffed marker inside = unsupported: one pass over
+            # the 0xFF positions (a 0xFF not followed by a 0x00 stuff
+            # byte is a marker), not 255 full scans of the segment
+            i = raw.find(b"\xff")
+            while i != -1:
+                if i + 1 < len(raw) and raw[i + 1] != 0x00:
                     raise NotImplementedError("marker inside scan data")
+                i = raw.find(b"\xff", i + 2)
             scan = raw.replace(b"\xff\x00", b"\xff")
             break
         # APPn / COM / others: skipped

@@ -256,8 +256,16 @@ def assign_seq_within_parents_cached(
         return out, ranked, out.count()
     cnts = sorted(head, key=lambda r: r[parent_col])
     if not cnts:
+        # project off the (empty, already materialized) cache, NOT the
+        # lazy input: returning `df` here would hand every downstream
+        # consumer the full anti-join lineage — including the
+        # driver-serial matched-set broadcast build — to re-execute
+        # per action just to find zero rows, which is the common
+        # crawl-drain state (every discovered link already seen).
         return (
-            df.withColumn(seq_col, F.lit(base).cast("long")),
+            ranked.drop("_rk").withColumn(
+                seq_col, F.lit(base).cast("long")
+            ),
             ranked,
             0,
         )

@@ -90,10 +90,9 @@ from ..operators.scheduler import (
 from ..schemas import FRONTIER
 from ..sources.checkpoints import KEY_BLOOM_OPTIONS, SnapshotStore
 from ..sources.ledger import (
-    _fs,
-    _jpath,
     append_ledger_delta,
     ensure_ledger_table,
+    retire_ledger_version,
     write_bucketed_ledger,
 )
 
@@ -150,6 +149,49 @@ _PAGE_COLS = [
     "caption",
     "phash",
 ]
+
+
+def robots_fetch_once(
+    robots_src: DataFrame, new_hosts: DataFrame, delay, fetch_round: int
+):
+    """One robots row per first-contact host (S5/U6 —
+    crawler/frontier.py:96-115 fetches robots.txt once per new
+    domain), with null rules = permissive for hosts that serve none.
+
+    Semantically a left-outer join preserving ``new_hosts`` — but an
+    outer join can only ever build (broadcast) its NON-preserved
+    side, so writing it as one outer join forces Spark to broadcast
+    ``robots_src``, a table that scales with every host on the web.
+    Composed instead as semi + anti: both are LeftSemi/LeftAnti
+    joins whose build side is the batch-bounded set (this round's
+    first-contact hosts / their matched robots rows), so the
+    host-scaled table is only ever STREAMED, shuffle-free.
+
+    Returns ``(fetched_robots, hit)``; ``hit`` is persisted (it is
+    batch-bounded) so ``robots_src`` is scanned once per round no
+    matter how many downstream consumers evaluate the robots union —
+    the caller unpersists it after its round commit.
+    """
+    hit = (
+        robots_src.join(F.broadcast(new_hosts), "host", "left_semi")
+        .select("host", "rules")
+        .persist()
+    )
+    miss = new_hosts.join(
+        F.broadcast(hit.select("host")), "host", "left_anti"
+    ).withColumn("rules", F.lit(None).cast("string"))
+    fetched = (
+        hit.unionByName(miss)
+        .withColumn("crawl_delay", delay(F.col("rules")))
+        .select(
+            "host",
+            F.lit(True).alias("fetched"),
+            "rules",
+            "crawl_delay",
+            F.lit(fetch_round).alias("fetch_round"),
+        )
+    )
+    return fetched, hit
 
 
 class CrawlJob:
@@ -693,20 +735,9 @@ class CrawlJob:
         )
         # broadcast the BATCH-BOUNDED side (this round's first-contact
         # hosts) into the network table, never the reverse — the
-        # robots source scales with the whole web's host count. A
-        # right join preserves every new_hosts row exactly like the
-        # old new_hosts-left form (hosts without robots keep null
-        # rules = permissive).
-        fetched_robots = (
-            self.robots_src.join(F.broadcast(new_hosts), "host", "right")
-            .withColumn("crawl_delay", self._delay(F.col("rules")))
-            .select(
-                "host",
-                F.lit(True).alias("fetched"),
-                "rules",
-                "crawl_delay",
-                F.lit(r).alias("fetch_round"),
-            )
+        # robots source scales with the whole web's host count.
+        fetched_robots, robots_hit = robots_fetch_once(
+            self.robots_src, new_hosts, self._delay, r
         )
         robots = self.robots.unionByName(fetched_robots)
 
@@ -1085,6 +1116,21 @@ class CrawlJob:
                 buckets=self._ledger_buckets,
             )
 
+        # carry the active ledger version in EVERY round commit, not
+        # just start()/_compact(): a pre-ledger checkpoint seeds the
+        # table lazily inside _ensure_ledger, and without publishing
+        # the version here each process restart would find no
+        # seen_ledger meta and re-seed the full O(frontier) table
+        # (meta is merge-on-commit, so this is idempotent with the
+        # compaction commit's entry).
+        ledger_meta = None
+        if cfg.seen_ledger_buckets and self._ledger_version is not None:
+            ledger_meta = {
+                "seen_ledger": {
+                    "version": self._ledger_version,
+                    "buckets": self._ledger_buckets,
+                }
+            }
         self.round = r
         self.store.commit(
             r,
@@ -1095,7 +1141,9 @@ class CrawlJob:
             },
             log_appends=commit_appends,
             log_compact=commit_compacts or None,
-            meta=bloom_meta,
+            meta=(
+                {**(bloom_meta or {}), **(ledger_meta or {})} or None
+            ),
             partition_by={"pending_log": ["pos_bucket"]},
             options={
                 "frontier_log": KEY_BLOOM_OPTIONS,
@@ -1156,7 +1204,14 @@ class CrawlJob:
                     else seen_ops.or_words(self._delta_words, round_delta)
                 ).localCheckpoint(eager=False)
 
-        for h in (admitted, fetched, seq_cache, probe_handle, evaluated):
+        for h in (
+            admitted,
+            fetched,
+            seq_cache,
+            probe_handle,
+            evaluated,
+            robots_hit,
+        ):
             if h is not None:
                 h.unpersist()
 
@@ -1270,11 +1325,11 @@ class CrawlJob:
             # (metadata drop + best-effort file cleanup)
             self._ledger_version = old_ledger_version + 1
             self._ledger_buckets = self.config.seen_ledger_buckets
-            self.spark.sql(
-                f"DROP TABLE IF EXISTS {self._ledger_table(old_ledger_version)}"
+            retire_ledger_version(
+                self.spark,
+                self._ledger_table(old_ledger_version),
+                self._ledger_path(old_ledger_version),
             )
-            old_path = self._ledger_path(old_ledger_version)
-            _fs(self.spark, old_path).delete(_jpath(self.spark, old_path), True)
         if fold_bloom:
             # the compacted base IS the merged view: reset the
             # in-memory layers so the probe's delta join disappears

@@ -162,14 +162,49 @@ def compact_bucketed_ledger(
     spark: SparkSession,
     table: str,
     path: str,
+    new_table: str,
+    new_path: str,
     buckets: int = 64,
     key_col: str = "url_key",
 ) -> None:
     """Fold a multi-file-per-bucket ledger (after a window of appends)
     back to one sorted file per bucket — restores the sort-free merge
     join property. Same O(frontier)-once-per-window cost class as the
-    frontier log compaction and the Bloom base fold."""
-    staged = spark.table(table).localCheckpoint(eager=True)
+    frontier log compaction and the Bloom base fold.
+
+    Writes the compacted copy as a NEW version at ``new_table`` /
+    ``new_path`` and leaves the live ledger untouched: an in-place
+    rewrite would have to destroy the only copy before its
+    replacement finishes, so a crash mid-compaction would lose the
+    entire seen set. The caller publishes the new version in its
+    manifest/meta, then retires the old one with
+    ``retire_ledger_version`` — a crash anywhere in between leaves
+    the old version intact and the half-written new one unreferenced
+    (its stale files are cleared by the next compaction's overwrite
+    at that path). ``plans/crawl.py _compact`` is the same protocol
+    with the round-gated key view.
+
+    The rewrite source reads the PARQUET PATH, not the catalog table:
+    the table's bucketing spec makes the planner elide the writer's
+    ``repartition(buckets, key)`` as redundant, and the write then
+    runs with file-split tasks holding mixed buckets — emitting
+    several files per bucket, the exact state compaction exists to
+    fold. The path read carries no layout metadata, so the shuffle
+    into one-task-per-bucket stays in the plan."""
     write_bucketed_ledger(
-        staged, table, path, buckets=buckets, key_col=key_col, mode="overwrite"
+        spark.read.parquet(path),
+        new_table,
+        new_path,
+        buckets=buckets,
+        key_col=key_col,
+        mode="overwrite",
     )
+
+
+def retire_ledger_version(
+    spark: SparkSession, table: str, path: str
+) -> None:
+    """Drop a superseded ledger version (metadata drop + best-effort
+    file cleanup) — only call after the replacement is published."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _fs(spark, path).delete(_jpath(spark, path), True)
