@@ -228,3 +228,41 @@ def test_ledger_ingest_is_lossless(spark, tmp_path_factory):
     pending = {r["url_key"] for r in out_store.load_log("stream_pending").collect()}
     assert admitted == {0, 1, 2, 3}  # budget 4, discovery_seq order
     assert admitted | pending == set(range(10)) and not (admitted & pending)
+
+
+def test_hourly_rollup_stream_tz_free_under_sub_hour_offset(spark, stream_src):
+    """NTZ wall-clock bucketing must not shift with the session zone:
+    under +05:30 a naive NTZ->TIMESTAMP cast puts epoch-aligned window
+    boundaries at :30 of the wall clock and mislabels every bucket."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        batch = spark.read.parquet(stream_src)
+        src = spark.readStream.schema(batch.schema).parquet(stream_src)
+        got = _run_available_now(
+            hourly_rollup_stream(src, watermark="0 seconds"), spark, "rollup_tz"
+        )
+        # ground truth: tz-free truncation of the NTZ wall-clock
+        want = (
+            batch.groupBy(
+                F.date_format(
+                    F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00"
+                ).alias("hour"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .collect()
+        )
+        key = lambda r: (r["hour"], r["event_type"])  # noqa: E731
+        got_m = {key(r): (r["n"], r["sum_value"]) for r in got}
+        want_m = {key(r): (r["n"], r["sum_value"]) for r in want}
+        last_hour = max(h for h, _ in want_m)
+        assert {k: v for k, v in got_m.items() if k[0] < last_hour} == {
+            k: v for k, v in want_m.items() if k[0] < last_hour
+        }
+        assert set(got_m) <= set(want_m)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

@@ -115,12 +115,25 @@ def with_maybe_seen(
     m_bits: int,
     k: int = 3,
     flag_col: str = "_maybe",
-    broadcast_words: bool = True,
+    broadcast_words: bool | None = None,
 ) -> DataFrame:
     """batch + boolean ``flag_col``: False ⇒ definitely unseen (no
-    false negatives). k broadcast joins against the word table + bit
-    tests — whole-stage codegen end to end. A word_id absent from the
-    table means no bits set ⇒ not seen."""
+    false negatives). k joins against the word table + bit tests —
+    whole-stage codegen end to end. A word_id absent from the table
+    means no bits set ⇒ not seen.
+
+    ``broadcast_words=None`` (default) broadcasts only while the word
+    table is provably small (≈ m_bits/4 bytes ≤ 256 MB): the table
+    scales with the LEDGER (m_bits tracks inserted keys at ~16
+    bits/key), and an unconditional broadcast here is exactly the
+    ledger-scaled-broadcast anti-pattern this module exists to kill —
+    at the 10^10-key design point it would be k driver-serial
+    multi-GB builds per probe. Past the bound the joins run as plain
+    word_id-keyed shuffle joins; ``maybe_seen_keys`` is the
+    purpose-built scale path (one partition-aligned join,
+    O(k·batch) rows moved)."""
+    if broadcast_words is None:
+        broadcast_words = m_bits <= (1 << 30)
     out = batch
     positions = _probe_positions(F.col(key_col), k, m_bits)
     hit_cols = []

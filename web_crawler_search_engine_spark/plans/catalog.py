@@ -54,7 +54,12 @@ def _tokens(doc_df: DataFrame) -> DataFrame:
 
 
 _TOKENS_SQL = (
-    "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+    # the trailing filter mirrors _tokens' `token != ''` exactly: in
+    # DuckDB string_split('', ' ') yields [''] (one empty token) and a
+    # doubled space yields phantom ''-tokens, so without it the twins
+    # disagree on any corpus whose text is not strictly single-spaced
+    "SELECT * FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token"
+    " FROM documents) WHERE token <> ''"
 )
 
 
@@ -3435,20 +3440,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     that shares a word 3-shingle with the benchmark/eval set — the
     standard pre-training hygiene pass (n-gram overlap decontamination
     as practiced for public eval suites). The benchmark set is derived
-    deterministically (doc_id % 83 == 0) so both engines see the same
-    probes; training docs are the complement.
+    deterministically (doc_id % 83 == 0 AND doc_id < 50_000) so both
+    engines see the same probes; training docs are the complement.
 
-    Scale shape: the probe set is benchmark-sized — eval suites are
-    thousands of docs, NOT corpus-sized — so the semi-join side is
-    legitimately broadcastable (contrast q_corpus_select, whose drop
-    set scales with the corpus and must NOT be broadcast). One shuffle
-    for the per-doc hit count at training-corpus volume; contaminated
-    docs come out with their hit counts so the pipeline can audit
-    before dropping.
+    Scale shape: the probe set is benchmark-sized BY CONSTRUCTION —
+    the absolute doc_id bound caps it at ~600 docs no matter how
+    large the corpus grows (a bare modulus would make it 1.2% OF THE
+    CORPUS, and broadcasting that is the data-sized-broadcast
+    anti-pattern q_corpus_select exists to ban). Real eval suites are
+    fixed-size; the bound models that, which is what makes the
+    semi-join side legitimately broadcastable. One shuffle for the
+    per-doc hit count at training-corpus volume; contaminated docs
+    come out with their hit counts so the pipeline can audit before
+    dropping.
     """
     docs = _t(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    is_bench = F.col("doc_id") % 83 == 0
+    is_bench = (F.col("doc_id") % 83 == 0) & (F.col("doc_id") < 50_000)
     probes = (
         sh.filter(is_bench).select("sh").distinct()
     )
@@ -3474,16 +3482,17 @@ _SHINGLES_DOCS_SQL = _SHINGLES_SQL.replace("FROM dd)", "FROM documents)")
 
 _SQL_DECONTAMINATE = f"""
 WITH sh AS ({_SHINGLES_DOCS_SQL}),
-probes AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 83 = 0),
+probes AS (SELECT DISTINCT sh FROM sh
+           WHERE doc_id % 83 = 0 AND doc_id < 50000),
 hits AS (
   SELECT s.doc_id, count(*) AS n_hits
   FROM sh s JOIN probes p ON s.sh = p.sh
-  WHERE s.doc_id % 83 <> 0
+  WHERE NOT (s.doc_id % 83 = 0 AND s.doc_id < 50000)
   GROUP BY 1)
 SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-WHERE d.doc_id % 83 <> 0
+WHERE NOT (d.doc_id % 83 = 0 AND d.doc_id < 50000)
 """
 
 QUERIES.update({"q_decontaminate": q_decontaminate})

@@ -256,12 +256,18 @@ def finalize_index(
         F.lit(0) if dedup_shards is None else F.pmod(F.xxhash64("url"), F.lit(dedup_shards))
     )
     w = Window.partitionBy("content_hash", "_shard").orderBy("doc_id")
+    # localCheckpoint, NOT persist: the returned docs/postings frames
+    # reference these rows lazily, so a persist could never be
+    # unpersisted here — each index build would pin one wide cached
+    # DataFrame (titles + full postings arrays) in executor storage
+    # forever. Checkpoint blocks are released by the context cleaner
+    # once the caller drops the returned frames.
     survivors = (
         ids.withColumn("_shard", shard_key)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_shard", "html_ok")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_docs = survivors.count()
     docs = survivors.select("doc_id", "url", "title")
@@ -300,7 +306,7 @@ def build_index(
 def build_index_incremental(
     pages: DataFrame,
     store,
-    round_id: int = 0,
+    round_id: int | None = None,
     dedup_shards: int | None = None,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Resumable index build (S8 — indexer/__init__.py:56-63,103): the
@@ -317,6 +323,13 @@ def build_index_incremental(
     fresh = pages if prev_urls is None else pages.join(
         prev_urls, "url", "left_anti"
     )
+    if round_id is None:
+        # default to the next unused round: committing under an
+        # already-used round_id overwrites that round's delta dir
+        # (destroying its parsed rows) while appending the same path
+        # to the manifest again — silent data loss + double reads
+        latest = store.latest_round()
+        round_id = 0 if latest is None else latest + 1
     store.commit(round_id, log_appends={"parsed_docs": parse_pages(fresh)})
     return finalize_index(
         store.load_log("parsed_docs"), dedup_shards=dedup_shards

@@ -42,18 +42,41 @@ def hourly_rollup_stream(
     """Windowed count/sum per event_type with late-data watermark.
 
     ``events`` must be a streaming DataFrame with columns
-    (ts timestamp, event_type string, value double). TIMESTAMP_NTZ
-    inputs are cast — watermarks are only defined on TIMESTAMP."""
+    (ts timestamp or timestamp_ntz, event_type string, value double).
+
+    NTZ inputs are NOT naively cast to TIMESTAMP: watermarks are only
+    defined on TIMESTAMP (Spark rejects NTZ event time), but the
+    plain cast reinterprets wall-clock values through the session
+    timezone — under any sub-hour-offset zone (e.g. +05:30) the
+    epoch-aligned window boundaries land at :30/:45 of the wall
+    clock and the 'HH:00' label names the wrong hour, diverging from
+    the tz-free ``date_trunc`` of the batch twin
+    ``catalog.q_hourly_events``. Instead the NTZ wall-clock is
+    reinterpreted as a UTC instant (cast renders wall - offset;
+    ``from_utc_timestamp`` adds the offset back), so window
+    boundaries sit exactly on the wall-clock hours in EVERY session
+    timezone, and the label applies the inverse shift before
+    rendering. TIMESTAMP inputs keep plain session-zone semantics."""
+    ntz = events.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    src = events
+    start = F.col("win.start")
+    if ntz:
+        src = events.withColumn(
+            "ts",
+            F.from_utc_timestamp(
+                F.col("ts").cast("timestamp"), F.current_timezone()
+            ),
+        )
+        start = F.to_utc_timestamp(start, F.current_timezone())
     return (
-        events.withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", watermark)
+        src.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .select(
-            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:00").alias("hour"),
+            F.date_format(start, "yyyy-MM-dd HH:00").alias("hour"),
             "event_type",
             "n",
             "sum_value",

@@ -60,7 +60,6 @@ def doc_bands(df: DataFrame) -> DataFrame:
     """(doc_id, arrival_seq, band) — one row per LSH band per doc,
     the q_dedup_minhash_lsh scheme verbatim: distinct 3-shingles,
     8 seeded portable min-hashes, 4 bands of 2 hashes."""
-    arr = F.split(F.col("text"), " ")
     tri = F.expr(
         "case when size(split(text,' ')) >= 3 then"
         " transform(sequence(1, size(split(text,' ')) - 2),"
