@@ -2954,6 +2954,16 @@ FROM r GROUP BY doc_id
 
 _SPAN_K = 8  # gram width (tokens)
 _SPAN_MIN_GRAMS = 3  # runs shorter than this are noise, not plagiarism
+# join-bucket bound: a gram occurring more than this many times
+# corpus-wide is dropped BEFORE the self-join (both engines). Without
+# it one globally-hot boilerplate gram (10^6 docs) makes a single
+# equi-join bucket of ~10^12 pairs — the same unbounded-bucket class
+# the r2 verdict flagged on 8-bit simhash bands. A true shared span
+# through a dropped gram still surfaces as two shorter islands on the
+# same diagonal unless EVERY gram in it is globally hot; that recall
+# trade for a hard candidate bound is the standard one (cf. LSH
+# implementations' max-bucket caps).
+_SPAN_MAX_OCC = 64
 
 
 def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2966,13 +2976,16 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     a run of g consecutive matching grams certifies an exact shared
     substring of g+7 tokens.
 
-    Shape at scale: the only big shuffle is the gram-hash equi-join —
-    grams are Zipf-rare so buckets stay sparse (boilerplate grams
-    that DO repeat globally are exactly the content this op exists to
-    find). The island grouping is a window per (pair, diagonal) whose
-    partitions are tiny (one per matching doc pair), never corpus-
-    sized. No all-pairs stage exists anywhere; a suffix array on a
-    single box is O(corpus) memory — this is the shape that shards."""
+    Shape at scale: the only big shuffle is the gram-hash equi-join,
+    and every join bucket is HARD-BOUNDED at _SPAN_MAX_OCC rows — a
+    map-side-combined occurrence count drops globally-hot grams
+    before the self-join, so the candidate volume is at most
+    (_SPAN_MAX_OCC choose 2) per surviving gram value regardless of
+    corpus size or boilerplate skew. The island grouping is a window
+    per (pair, diagonal) whose partitions are tiny (one per matching
+    doc pair), never corpus-sized. No all-pairs stage exists
+    anywhere; a suffix array on a single box is O(corpus) memory —
+    this is the shape that shards."""
     dd = _docs_with_dupes(spark, sf_dir)
     arr = F.split(F.col("text"), " ")
     grams = F.when(
@@ -2985,6 +2998,17 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = dd.select(
         "doc_id", F.posexplode(grams).alias("p0", "gram")
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), _phash(F.col("gram")).alias("gh"))
+    # bucket bound: drop globally-hot grams before the self-join. The
+    # count groupBy combines map-side; the hot set is data-derived
+    # (≤ total_grams / _SPAN_MAX_OCC rows), so NO broadcast hint —
+    # AQE picks the join strategy (r2 verdict finding #3's rule).
+    hot = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > _SPAN_MAX_OCC)
+        .select("gh")
+    )
+    g = g.join(hot, "gh", "left_anti")
     a, b = g.alias("a"), g.alias("b")
     hits = (
         a.join(
@@ -3019,11 +3043,13 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SPANS = f"""
 WITH dd AS ({_DOCS_DUPES_SQL}),
 t AS (SELECT doc_id, string_split(text, ' ') AS arr FROM dd),
-g AS (
+g0 AS (
   SELECT doc_id, u.i AS pos,
          ('0x' || substr(md5(array_to_string(
              list_slice(arr, u.i, u.i + {_SPAN_K - 1}), ' ')), 1, 15))::BIGINT AS gh
   FROM t, unnest(range(1, greatest(len(arr) - {_SPAN_K - 2}, 1))) AS u(i)),
+hot AS (SELECT gh FROM g0 GROUP BY gh HAVING count(*) > {_SPAN_MAX_OCC}),
+g AS (SELECT g0.* FROM g0 ANTI JOIN hot USING (gh)),
 hits AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.pos - b.pos AS diag, a.pos AS a_pos

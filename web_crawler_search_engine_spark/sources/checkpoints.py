@@ -125,8 +125,18 @@ class SnapshotStore:
             manifest["logs"][name] = {"base": str(path), "deltas": []}
         for name, df in (log_appends or {}).items():
             path = self.root / name / f"d{round_id}"
-            jobs.append((df, path, name))
             info = manifest["logs"].get(name, {"base": None, "deltas": []})
+            if str(path) in info.get("deltas", []):
+                # a second append to the same log under one round would
+                # OVERWRITE the earlier delta's files while listing the
+                # path twice (double-counted rows over lost data) — a
+                # caller-contract violation that must be loud, not
+                # silent (the r2-review indexer round-id bug class).
+                raise ValueError(
+                    f"log {name!r} already has a delta for round "
+                    f"{round_id}; use a fresh round id"
+                )
+            jobs.append((df, path, name))
             manifest["logs"][name] = {
                 "base": info.get("base"),
                 "deltas": list(info.get("deltas", [])) + [str(path)],
