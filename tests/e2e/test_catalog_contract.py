@@ -44,6 +44,7 @@ SUBSET = [
     "q_pagerank",
     "q_bm25",
     "q_stratified_split",
+    "q_cuckoo_probe",
 ]
 
 

@@ -4186,3 +4186,83 @@ FROM bits GROUP BY image_id
 
 QUERIES.update({"q_image_align": q_image_align})
 ORACLE_SQL.update({"q_image_align": _image_align_sql()})
+
+
+# ---------------------------------------------------------------------------
+# Batch 7 — cuckoo-filter URL-seen probe: the north_rule's named
+# alternative to the Bloom accelerator (operators/cuckoo.py; Fan et
+# al. 2014), oracle-checked across engines. The Spark side builds the
+# table through the REAL operator including its deterministic
+# relocation pass (rows past bucket_cap move to their b2 site); the
+# DuckDB twin stores every fingerprint at b1 — the hash gate passing
+# IS the proof of the XOR-involution's site-invariance (module doc).
+
+_CK_M = 4096  # power of two (b2 = b1 XOR alt stays in range)
+_CK_FPM = (1 << 16) - 1
+
+
+def q_cuckoo_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every customer key probed against a cuckoo filter of the
+    URGENT-order custkeys (the X1 seen-set shape of q_anti_join_seen,
+    with the filter's own false-positive behavior made deterministic
+    and cross-engine). maybe_seen=False is a no-false-negative
+    guarantee; True is a candidate for the exact backstop.
+
+    Scale shape: table build = one rank window + one distinct at key
+    volume; probe = 2 skinny rows per key into ONE (bucket, fp)
+    equi-join against the table's own hash layout — O(2·batch)
+    shuffled, never O(filter), no driver-side state."""
+    from ..operators import cuckoo as ck
+
+    seen = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").cast("long").alias("k"))
+        .distinct()
+    )
+    table = ck.cuckoo_table(seen, "k", _CK_M, portable=True, bucket_cap=4)
+    probe = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    maybe = ck.maybe_seen_keys_cuckoo(
+        probe, table, "k", _CK_M, portable=True
+    ).withColumn("_m", F.lit(True))
+    return (
+        probe.join(maybe, "k", "left")
+        .select(
+            F.col("k").alias("c_custkey"),
+            F.coalesce(F.col("_m"), F.lit(False)).alias("maybe_seen"),
+        )
+    )
+
+
+_CK_H = "('0x' || substr(md5({0} || '|{1}'), 1, 15))::BIGINT"
+
+_SQL_CUCKOO = f"""
+WITH seen AS (
+  SELECT DISTINCT o_custkey::BIGINT AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'),
+tab AS (
+  SELECT DISTINCT
+         {_CK_H.format("k::VARCHAR", "cb1")} % {_CK_M} AS bucket,
+         1 + ({_CK_H.format("k::VARCHAR", "cfp")} % {_CK_FPM}) AS fp
+  FROM seen),
+pr AS (
+  SELECT c_custkey::BIGINT AS c_custkey,
+         1 + ({_CK_H.format("c_custkey::VARCHAR", "cfp")} % {_CK_FPM}) AS fp,
+         {_CK_H.format("c_custkey::VARCHAR", "cb1")} % {_CK_M} AS b1
+  FROM customer),
+pr2 AS (
+  SELECT c_custkey, fp, b1,
+         xor(b1, {_CK_H.format("fp::VARCHAR", "calt")} % {_CK_M}) AS b2
+  FROM pr)
+SELECT c_custkey,
+       EXISTS (SELECT 1 FROM tab t
+               WHERE t.fp = pr2.fp
+                 AND (t.bucket = pr2.b1 OR t.bucket = pr2.b2)) AS maybe_seen
+FROM pr2
+"""
+
+
+QUERIES.update({"q_cuckoo_probe": q_cuckoo_probe})
+ORACLE_SQL.update({"q_cuckoo_probe": _SQL_CUCKOO})
