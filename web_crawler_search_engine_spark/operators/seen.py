@@ -178,6 +178,17 @@ def maybe_seen_keys(
     checkpoint output), so only the probe rows shuffle — O(k·batch)
     longs, never O(filter), and zero driver-serial broadcast build.
 
+    Two alternative shapes were measured and REFUTED in a same-JVM
+    interleaved A/B at 24M standing / 4.8M batch (tools/probe_ab.py,
+    order alternated per pair): (a) a k-step sequential filtered
+    chain where a key stops probing at its first missed bit — dead
+    heat on mins (5.11 s vote vs 5.07 s chain), the chain's smaller
+    row movement cancelled by re-building the words-side hash per
+    step and one extra stage barrier; (b) the build-side flip (inner
+    join, survivors as build so the filter side never hashes) —
+    2.6× WORSE, because the full word table then re-streams through
+    every one of the k steps.
+
     ``delta_words``: an OPTIONAL second filter layer over the same
     (m_bits, k) layout — the small accumulator of rounds committed
     since the last compaction. A bit counts as set if it is set in
