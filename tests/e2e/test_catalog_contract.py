@@ -45,6 +45,7 @@ SUBSET = [
     "q_bm25",
     "q_stratified_split",
     "q_cuckoo_probe",
+    "q_recrawl_ttl",
 ]
 
 

@@ -4266,3 +4266,94 @@ FROM pr2
 
 QUERIES.update({"q_cuckoo_probe": q_cuckoo_probe})
 ORACLE_SQL.update({"q_cuckoo_probe": _SQL_CUCKOO})
+
+
+def q_recrawl_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL re-crawl over the cuckoo filter — the maintenance op Bloom
+    cannot express, end to end under the hash gate: insert the
+    URGENT-order custkeys, DELETE the keys whose latest urgent order
+    predates the cutoff (the TTL-expired slice), then probe every
+    customer against the pruned filter. A key probing False after the
+    delete is re-crawlable; the deterministic collateral set (a
+    survivor sharing a (site, fp) pair with a victim — the paper's
+    delete caveat) is identical in both engines because post-delete
+    membership is ALSO site-invariant: whether a survivor's stored
+    pair falls in a victim's two-bucket delete set is the same
+    condition at either of its sites (XOR both sides by alt(fp)).
+    The oracle therefore stores at b1 and deletes both candidate
+    sites, while the Spark side deletes from the relocated table.
+
+    Scale shape: the delete is ONE anti-join on the table's (bucket,
+    fp) layout — O(victims) rows against it; probe as q_cuckoo_probe."""
+    from ..operators import cuckoo as ck
+
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").cast("long").alias("k"), "o_orderdate")
+    )
+    seen = urgent.select("k").distinct()
+    victims = (
+        urgent.groupBy("k")
+        .agg(F.max("o_orderdate").alias("_last"))
+        .filter(F.col("_last") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        .select("k")
+    )
+    table = ck.cuckoo_table(seen, "k", _CK_M, portable=True, bucket_cap=4)
+    pruned = ck.delete_keys_cuckoo(table, victims, "k", _CK_M, portable=True)
+    probe = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    maybe = ck.maybe_seen_keys_cuckoo(
+        probe, pruned, "k", _CK_M, portable=True
+    ).withColumn("_m", F.lit(True))
+    return probe.join(maybe, "k", "left").select(
+        F.col("k").alias("c_custkey"),
+        F.coalesce(F.col("_m"), F.lit(False)).alias("maybe_seen_after_ttl"),
+    )
+
+
+_SQL_RECRAWL = f"""
+WITH urgent AS (
+  SELECT o_custkey::BIGINT AS k, o_orderdate FROM orders
+  WHERE o_orderpriority = '1-URGENT'),
+seen AS (SELECT DISTINCT k FROM urgent),
+victims AS (
+  SELECT k FROM urgent GROUP BY k
+  HAVING max(o_orderdate) < TIMESTAMP '1998-01-01'),
+tab AS (
+  SELECT DISTINCT
+         {_CK_H.format("k::VARCHAR", "cb1")} % {_CK_M} AS bucket,
+         1 + ({_CK_H.format("k::VARCHAR", "cfp")} % {_CK_FPM}) AS fp
+  FROM seen),
+vf AS (
+  SELECT k, 1 + ({_CK_H.format("k::VARCHAR", "cfp")} % {_CK_FPM}) AS fp,
+         {_CK_H.format("k::VARCHAR", "cb1")} % {_CK_M} AS b1
+  FROM victims),
+vpairs AS (
+  SELECT fp, b1 AS bucket FROM vf
+  UNION
+  SELECT fp, xor(b1, {_CK_H.format("fp::VARCHAR", "calt")} % {_CK_M}) FROM vf),
+pruned AS (
+  SELECT t.bucket, t.fp FROM tab t
+  ANTI JOIN vpairs v ON v.bucket = t.bucket AND v.fp = t.fp),
+pr AS (
+  SELECT c_custkey::BIGINT AS c_custkey,
+         1 + ({_CK_H.format("c_custkey::VARCHAR", "cfp")} % {_CK_FPM}) AS fp,
+         {_CK_H.format("c_custkey::VARCHAR", "cb1")} % {_CK_M} AS b1
+  FROM customer),
+pr2 AS (
+  SELECT c_custkey, fp, b1,
+         xor(b1, {_CK_H.format("fp::VARCHAR", "calt")} % {_CK_M}) AS b2
+  FROM pr)
+SELECT c_custkey,
+       EXISTS (SELECT 1 FROM pruned t
+               WHERE t.fp = pr2.fp
+                 AND (t.bucket = pr2.b1 OR t.bucket = pr2.b2))
+           AS maybe_seen_after_ttl
+FROM pr2
+"""
+
+
+QUERIES.update({"q_recrawl_ttl": q_recrawl_ttl})
+ORACLE_SQL.update({"q_recrawl_ttl": _SQL_RECRAWL})
