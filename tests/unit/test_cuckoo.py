@@ -153,3 +153,22 @@ def test_fast_hash_pinned_to_xxh64_chain(spark):
         assert r["fp"] == fp
         assert r["b1"] == b1
         assert r["b2"] == b1 ^ alt
+
+
+def test_probe_plan_shape(spark):
+    """Plan lock: the probe must be a shuffled-hash join — never a
+    broadcast of the filter table (it scales with the ledger, the
+    anti-pattern operators/seen.py exists to kill), and never a
+    sort-merge (no reason to sort O(2*batch) skinny rows)."""
+
+    def _plan(df) -> str:
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    inserted = _keys(spark, 0, 2000)
+    tab = ck.cuckoo_table(inserted, "url_key", M)
+    plan = _plan(ck.maybe_seen_keys_cuckoo(inserted, tab, "url_key", M))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" not in plan
