@@ -172,3 +172,39 @@ def test_probe_plan_shape(spark):
     assert "ShuffledHashJoin" in plan
     assert "BroadcastExchange" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_portable_hash_pinned_to_md5(spark):
+    """cuckoo_cols(portable=True) must equal the catalog's md5 hash
+    computed independently in Python (hashlib) — the same pin the
+    DuckDB twins rely on, held here without an engine in the loop.
+    Property-style over a spread of signed keys including negatives
+    (cast-to-string must produce the decimal form both engines use)."""
+    import hashlib
+
+    keys = [0, 1, -1, 2**62, -(2**62), 123456789, -987654321] + [
+        (h := int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big"))
+        - (h >> 63) * (1 << 64)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    rows = df.select(
+        "k",
+        *[
+            c.alias(n)
+            for c, n in zip(
+                ck.cuckoo_cols(F.col("k"), M, portable=True), ("fp", "b1", "b2")
+            )
+        ],
+    ).collect()
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for r in rows:
+        fp = h60(f"{r['k']}|cfp") % ((1 << 16) - 1) + 1
+        b1 = h60(f"{r['k']}|cb1") % M
+        alt = h60(f"{fp}|calt") % M
+        assert r["fp"] == fp, r["k"]
+        assert r["b1"] == b1, r["k"]
+        assert r["b2"] == b1 ^ alt, r["k"]
