@@ -46,6 +46,13 @@ def main() -> None:
         help="also keep the seen set as a bucketed table so non-"
         "broadcast seen joins shuffle only the batch (sources/ledger)",
     )
+    ap.add_argument(
+        "--seen-accel",
+        choices=["bloom", "cuckoo"],
+        default="bloom",
+        help="X1 maybe-set accelerator: bloom word table (default) or "
+        "the deletable cuckoo filter (operators/cuckoo — TTL re-crawl)",
+    )
     ap.add_argument("--master", default=None, help="override master (else spark-submit's)")
     args = ap.parse_args()
 
@@ -83,6 +90,7 @@ def main() -> None:
         salt_buckets=args.salt_buckets,
         host_buckets=args.host_buckets,
         seen_ledger_buckets=args.seen_ledger_buckets,
+        seen_accel=args.seen_accel,
     )
     job = CrawlJob(
         spark,

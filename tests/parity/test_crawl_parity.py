@@ -113,6 +113,45 @@ def test_bloom_off_identical(spark, world, tmp_path_factory, engine_run):
     assert job.admitted_sequences() == engine_run.admitted_sequences()
 
 
+def test_cuckoo_accel_identical(spark, world, tmp_path_factory, engine_run):
+    """seen_accel="cuckoo": the deletable filter as the X1 accelerator
+    — crawl output must be bit-for-bit the Bloom/exact runs' (the
+    no-false-negative + exact-backstop contract). A tiny m_buckets
+    forces heavy bucket collisions (dense fp sharing) so the exact
+    backstop actually earns its keep in this run."""
+    job = _make_job(
+        spark,
+        world,
+        tmp_path_factory.mktemp("ckpt_ck"),
+        seen_accel="cuckoo",
+        cuckoo_m_buckets=1 << 6,
+    )
+    job.start(world.seeds)
+    job.run(max_rounds=60)
+    assert job.final_state() == engine_run.final_state()
+    assert job.admitted_sequences() == engine_run.admitted_sequences()
+
+
+def test_accel_switch_on_resume_identical(spark, world, tmp_path_factory, engine_run):
+    """Switching the accelerator MID-CRAWL over a Bloom-era checkpoint
+    (no seen_cuckoo log in the manifest) must be seamless: the dirty
+    path rebuilds the cuckoo table from the URL ledger inside the next
+    round's commit, seeds and all — a false negative here would
+    re-admit already-crawled URLs and break the bit-for-bit contract."""
+    tmp = tmp_path_factory.mktemp("ckpt_sw")
+    a = _make_job(spark, world, tmp)
+    a.start(world.seeds)
+    for _ in range(3):
+        a.run_round()
+    b = _make_job(
+        spark, world, tmp, seen_accel="cuckoo", cuckoo_m_buckets=1 << 6
+    )
+    b.resume()
+    b.run(max_rounds=60)
+    assert b.final_state() == engine_run.final_state()
+    assert b.admitted_sequences() == engine_run.admitted_sequences()
+
+
 def test_bucketed_ledger_cutover_identical(
     spark, world, tmp_path_factory, engine_run
 ):

@@ -210,15 +210,19 @@ def anti_join_via_cuckoo(
     caller unpersists the handle after its commit."""
     from .seen import ProbeHandle
 
+    # persist the batch: the probe and the final anti-join are two
+    # passes over it, and its upstream (scrape + dedup lineage in the
+    # crawl) must run once per round (same contract as the Bloom twin)
+    batch = new_df.persist()
     maybe = maybe_seen_keys_cuckoo(
-        new_df.select(key_col), table, key_col, m_buckets, fp_bits
+        batch.select(key_col), table, key_col, m_buckets, fp_bits
     ).persist()
-    handle = ProbeHandle([maybe])
+    handle = ProbeHandle([batch, maybe])
     n_maybe = maybe.count()
     if n_maybe == 0:
-        return new_df, handle
+        return batch, handle
     if n_maybe > broadcast_limit:
-        out = new_df.join(seen_keys.select(key_col), key_col, "left_anti")
+        out = batch.join(seen_keys.select(key_col), key_col, "left_anti")
     else:
         matched = (
             seen_keys.select(key_col)
@@ -227,5 +231,5 @@ def anti_join_via_cuckoo(
             .persist()
         )
         handle._dfs.append(matched)
-        out = new_df.join(F.broadcast(matched), key_col, "left_anti")
+        out = batch.join(F.broadcast(matched), key_col, "left_anti")
     return out, handle

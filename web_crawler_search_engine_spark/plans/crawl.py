@@ -80,6 +80,7 @@ from pyspark.sql import functions as F
 from ..functions import html as H
 from ..functions import text as T
 from ..functions import urls as U
+from ..operators import cuckoo as cuckoo_ops
 from ..operators import seen as seen_ops
 from ..operators.scheduler import (
     admit,
@@ -109,6 +110,19 @@ class CrawlConfig:
     bloom_bits_per_key: int = 16
     bloom_k: int = 3
     bloom_min_capacity: int = 1 << 16
+    # which accelerator backs the X1 maybe-set when use_bloom is True:
+    # "bloom" (default — the word-table filter, O(n/4) standing rows)
+    # or "cuckoo" (operators/cuckoo.py — O(n) (bucket, fp) rows but
+    # DELETABLE, the TTL re-crawl path; a maintenance job retires
+    # expired keys with delete_keys_cuckoo + a frontier-log rewrite).
+    # Either way the exact anti-join backstop stays authoritative and
+    # results are bit-identical (parity-tested). State publishes in
+    # the SAME round commit as the frontier log — no second crash
+    # window — and a meta/config m_buckets mismatch (or a legacy
+    # checkpoint without the log) rebuilds the table from the URL
+    # ledger inside that commit, the Bloom's dirty-rebuild idiom.
+    seen_accel: str = "bloom"
+    cuckoo_m_buckets: int = 1 << 22
     compact_every: int = 8
     # above this many distinct parents per round, discovery_seq
     # assignment switches from the driver prefix-sum to the fully
@@ -661,6 +675,32 @@ class CrawlJob:
         self._plog_prune = stored == want
         return r
 
+    # -- cuckoo filter lifecycle (seen_accel="cuckoo") -----------------
+    def _cuckoo_state(self) -> tuple[DataFrame, bool]:
+        """(table, dirty): the standing (bucket, fp) filter to probe
+        this round. Clean when the committed ``seen_cuckoo`` log
+        exists AND its recorded m_buckets matches the config —
+        otherwise (legacy checkpoint, config change, or round 1) the
+        table is built lazily from the full URL ledger (the same
+        no-false-negative guarantee the Bloom's dirty rebuild gives:
+        seeds and every earlier round's keys are covered) and the
+        round commit publishes it via log_compact."""
+        cfg = self.config
+        meta = (self.store.manifest() or {}).get("meta", {}).get(
+            "seen_cuckoo", {}
+        )
+        if meta.get("m_buckets") == cfg.cuckoo_m_buckets:
+            try:
+                return self.store.load_log("seen_cuckoo"), False
+            except FileNotFoundError:
+                pass
+        return (
+            cuckoo_ops.cuckoo_updates(
+                self._seen_keys(), "url_key", cfg.cuckoo_m_buckets
+            ),
+            True,
+        )
+
     # -- Bloom filter lifecycle ----------------------------------------
     def _want_m(self) -> int:
         cfg = self.config
@@ -854,7 +894,18 @@ class CrawlJob:
         # backstop remains authoritative (FP-safe). All JVM-side.
         seen_keys = self._seen_keys()
         probe_handle = None  # DataFrame or seen_ops.ProbeHandle
-        if cfg.use_bloom:
+        self._cuckoo_dirty = False
+        if cfg.use_bloom and cfg.seen_accel == "cuckoo":
+            ck_table, self._cuckoo_dirty = self._cuckoo_state()
+            unseen, probe_handle = cuckoo_ops.anti_join_via_cuckoo(
+                batch_unique,
+                seen_keys,
+                ck_table,
+                "url_key",
+                m_buckets=cfg.cuckoo_m_buckets,
+                broadcast_limit=cfg.bloom_broadcast_limit,
+            )
+        elif cfg.use_bloom:
             self._ensure_filter()
             # persist_unseen=False: the cached seq-assign below ranks
             # straight through the anti-join and caches the RANKED
@@ -1071,7 +1122,30 @@ class CrawlJob:
         bloom_meta = None
         bloom_rebuilt = False
         self._n_seen += n_new
-        if cfg.use_bloom and n_new > 0:
+        if cfg.use_bloom and cfg.seen_accel == "cuckoo" and n_new > 0:
+            # cuckoo accelerator state — same single-commit discipline
+            # as the Bloom word delta below: the (bucket, fp) rows for
+            # this round's keys publish IN the round manifest, and a
+            # dirty table (legacy checkpoint / m_buckets change /
+            # round 1) is rebuilt from the full URL ledger via
+            # log_compact in that same atomic commit.
+            bloom_meta = {
+                "seen_cuckoo": {"m_buckets": cfg.cuckoo_m_buckets}
+            }
+            if self._cuckoo_dirty:
+                all_keys = self._log().select("url_key").unionByName(
+                    new_links.select("url_key")
+                )
+                commit_compacts["seen_cuckoo"] = cuckoo_ops.cuckoo_updates(
+                    all_keys, "url_key", cfg.cuckoo_m_buckets
+                )
+            else:
+                commit_appends["seen_cuckoo"] = cuckoo_ops.cuckoo_updates(
+                    new_links.select("url_key"),
+                    "url_key",
+                    cfg.cuckoo_m_buckets,
+                )
+        elif cfg.use_bloom and n_new > 0:
             want_m = self._want_m()
             bloom_meta = {
                 "seen_bloom": {
@@ -1189,7 +1263,7 @@ class CrawlJob:
         # small ACCUMULATOR layer only — the O(m) base is untouched
         # until compaction, so the per-round filter refresh costs
         # O(words touched since compaction), never O(m_bits).
-        if cfg.use_bloom and n_new > 0:
+        if cfg.use_bloom and cfg.seen_accel != "cuckoo" and n_new > 0:
             if bloom_rebuilt:
                 self._seen_words = self.store.load_log(
                     "seen_bloom"
@@ -1278,6 +1352,13 @@ class CrawlJob:
                 .groupBy("word_id")
                 .agg(F.bit_or("word").alias("word"))
             )
+        if self.store.log_delta_count("seen_cuckoo"):
+            # fold duplicate (bucket, fp) pairs across round deltas
+            # (probing ignores dups; compaction bounds the file count
+            # and row growth, same contract as the word log)
+            compacted["seen_cuckoo"] = self.store.load_log(
+                "seen_cuckoo"
+            ).distinct()
         ledger_meta = None
         old_ledger_version = None
         if self.config.seen_ledger_buckets:
