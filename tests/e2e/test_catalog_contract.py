@@ -41,6 +41,8 @@ SUBSET = [
     "q_paragraph_dedup",
     "q_substring_spans",
     "q_semdedup",
+    "q_semdedup_trained",
+    "q_dedup_embedding_cosine",
     "q_pagerank",
     "q_bm25",
     "q_stratified_split",

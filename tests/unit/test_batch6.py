@@ -85,3 +85,47 @@ def test_pagerank_mass_and_floor(spark):
     assert all(r["rank"] >= teleport for r in rows)
     # the graph is hash-random: ranks must actually differentiate
     assert len({r["rank"] for r in rows}) > n // 10
+
+
+def _emb_clone_ids(spark):
+    return [
+        r.vec_id
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") % 7 == 0)
+        .collect()
+    ]
+
+
+def test_banded_embedding_cosine_recall_on_clones(spark):
+    """r3-verdict item 3 'done' bar: the BANDED LSH blocking (B bands
+    × 16 planes, ≥2¹⁶ buckets per band) must still recall every
+    planted clone pair — identical embeddings land in the same bucket
+    in every band, so the pair is always a candidate and scores 1.0."""
+    assert 2 ** catalog._EMB_PLANES_PER_BAND >= 65536  # band cardinality
+    assert catalog._EMB_BANDS >= 2
+    pairs = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in catalog.q_dedup_embedding_cosine(spark, SF).collect()
+    }
+    clones = _emb_clone_ids(spark)
+    assert clones
+    for vid in clones:
+        assert pairs.get((vid, vid + 100000)) == 1.0, vid
+
+
+def test_semdedup_trained_drops_every_clone(spark):
+    """Same clone ground truth as test_semdedup_drops_every_clone, for
+    the TRAINED-quantizer form: identical embeddings share a trained
+    cluster and cosine 1.0 with a smaller-id twin => always dropped."""
+    out = {
+        r.vec_id: r for r in catalog.q_semdedup_trained(spark, SF).collect()
+    }
+    clones = _emb_clone_ids(spark)
+    assert clones
+    for vid in clones:
+        cid = vid + 100000
+        assert out[cid].dropped, cid
+        assert out[cid].cluster == out[vid].cluster
+    # the trained form must actually use more clusters than the K=8 demo
+    assert catalog._SEMT_K > catalog._KM_K
+    assert len({r.cluster for r in out.values()}) > 1

@@ -14,22 +14,28 @@ import hashlib
 from pyspark.sql import functions as F
 
 
-def lsh_planes(n_planes: int = 8, dims: int = 64) -> list[list[int]]:
+def lsh_planes(
+    n_planes: int = 8, dims: int = 64, start: int = 0
+) -> list[list[int]]:
     """INTEGER hyperplane weights in [-2048, 2047], derived at
     plan-build time from md5(f"{plane}_{dim}") — the same pseudo-random
     stream both engines previously recomputed per row. Precomputing
     kills 512 per-row md5 calls AND makes the weights literal
-    constants, identical across engines by construction."""
+    constants, identical across engines by construction. ``start``
+    selects planes [start, start+n_planes) from the stream so that
+    BANDED schemes (B independent bands of planes, candidate sets
+    unioned — the r3-verdict recipe that fixed SimHash) draw disjoint
+    planes per band."""
     return [
         [
             int(hashlib.md5(f"{h}_{d}".encode()).hexdigest()[:3], 16) - 2048
             for d in range(1, dims + 1)
         ]
-        for h in range(n_planes)
+        for h in range(start, start + n_planes)
     ]
 
 
-def lsh_bucket_col(emb_col, n_planes: int = 8):
+def lsh_bucket_col(emb_col, n_planes: int = 8, start: int = 0):
     """Random-hyperplane LSH bucket as a pure JVM Column expression.
 
     ulp-proof sign test (the r1 hash fail): the embedding is quantized
@@ -44,7 +50,7 @@ def lsh_bucket_col(emb_col, n_planes: int = 8):
         emb_col, lambda x: F.floor(x.cast("double") * 1000000.0).cast("long")
     )
     bucket = None
-    for h, weights in enumerate(lsh_planes(n_planes)):
+    for h, weights in enumerate(lsh_planes(n_planes, start=start)):
         warr = F.array(*[F.lit(w).cast("long") for w in weights])
         dot = F.aggregate(
             F.zip_with(qx, warr, lambda x, y: x * y),
