@@ -53,6 +53,14 @@ def main() -> None:
         help="X1 maybe-set accelerator: bloom word table (default) or "
         "the deletable cuckoo filter (operators/cuckoo — TTL re-crawl)",
     )
+    ap.add_argument(
+        "--recrawl-ttl",
+        type=int,
+        default=None,
+        help="TTL re-crawl: retire a fetched URL's seen entry after N "
+        "rounds so rediscovery re-admits it (bit-identical across "
+        "accelerators; cuckoo actually deletes via counting deltas)",
+    )
     ap.add_argument("--master", default=None, help="override master (else spark-submit's)")
     args = ap.parse_args()
 
@@ -91,6 +99,7 @@ def main() -> None:
         host_buckets=args.host_buckets,
         seen_ledger_buckets=args.seen_ledger_buckets,
         seen_accel=args.seen_accel,
+        recrawl_ttl=args.recrawl_ttl,
     )
     job = CrawlJob(
         spark,

@@ -206,24 +206,46 @@ class SingleWorkerSim(_CrawlWorld):
 
 
 class RoundSim(_CrawlWorld):
-    """Model B — the round-based contract (what the Spark engine runs)."""
+    """Model B — the round-based contract (what the Spark engine runs).
 
-    def __init__(self, *args, round_duration: float = 4.0, **kwargs):
+    ``recrawl_ttl`` (engine CrawlConfig.recrawl_ttl): a URL fetched in
+    round f is EXPIRED from the seen set for any round r with
+    f < r - ttl — rediscovering it then re-queues it with a fresh
+    discovery_seq (and resets its length until refetched), exactly the
+    engine's TTL liveness rule (_seen_keys: a key is seen unless its
+    latest row is a fetch older than the window)."""
+
+    def __init__(
+        self,
+        *args,
+        round_duration: float = 4.0,
+        recrawl_ttl: int | None = None,
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
         self.T = round_duration
+        self.ttl = recrawl_ttl
 
     def run(self, seed_urls: list[str], max_rounds: int = 10**6) -> SimResult:
         res = SimResult()
         robots: dict[str, RobotFileParser] = {}
         # frontier: url -> (depth, discovery_seq); pending set mirrors status
         seq_of: dict[str, int] = {}
+        fetched_round: dict[str, int] = {}
         next_seq = 0
+        rnd = 0
 
         def add(url: str) -> None:
             nonlocal next_seq
             u = normalize_url(url)
             if u in res.statuses:
-                return
+                expired = (
+                    self.ttl is not None
+                    and res.statuses[u] == "fetched"
+                    and fetched_round.get(u, rnd) < rnd - self.ttl
+                )
+                if not expired:
+                    return
             res.statuses[u] = "pending"
             res.lengths[u] = 0
             seq_of[u] = next_seq
@@ -267,6 +289,7 @@ class RoundSim(_CrawlWorld):
             # fetch + scrape; children eligible next round
             for u in admitted:
                 res.statuses[u] = "fetched"
+                fetched_round[u] = rnd
                 res.host_order.setdefault(urlparse(u).netloc, []).append(u)
                 status, content = self.fetch(u)
                 if should_scrape(status, content.encode("utf-8")):

@@ -152,6 +152,66 @@ def test_accel_switch_on_resume_identical(spark, world, tmp_path_factory, engine
     assert b.admitted_sequences() == engine_run.admitted_sequences()
 
 
+def test_accel_flip_flop_cuckoo_stale_identical(
+    spark, world, tmp_path_factory, engine_run
+):
+    """cuckoo→bloom→cuckoo across resumes (ADVICE r3 high): rounds
+    committed under the OTHER accelerator never append to this
+    accel's log, but the manifest meta persists forever, so the old
+    clean-gate (m_buckets match + log exists) accepted a seen_cuckoo
+    log missing the Bloom-era rounds' keys — false negatives then
+    bypassed the exact backstop and silently re-admitted
+    already-crawled URLs. The per-commit ``round`` stamp in the accel
+    meta must force the from-ledger rebuild instead."""
+    tmp = tmp_path_factory.mktemp("ckpt_ffc")
+    a = _make_job(
+        spark, world, tmp, seen_accel="cuckoo", cuckoo_m_buckets=1 << 6
+    )
+    a.start(world.seeds)
+    for _ in range(2):
+        a.run_round()
+    # two rounds under Bloom: the cuckoo log now misses their keys
+    b = _make_job(spark, world, tmp)
+    b.resume()
+    for _ in range(2):
+        b.run_round()
+    # back to cuckoo: the stale round stamp must trigger the rebuild
+    c = _make_job(
+        spark, world, tmp, seen_accel="cuckoo", cuckoo_m_buckets=1 << 6
+    )
+    c.resume()
+    c.run(max_rounds=60)
+    assert c.final_state() == engine_run.final_state()
+    assert c.admitted_sequences() == engine_run.admitted_sequences()
+
+
+def test_accel_flip_flop_bloom_stale_identical(
+    spark, world, tmp_path_factory, engine_run
+):
+    """bloom→cuckoo→bloom — the symmetric stale-log case: the
+    seen_bloom word log misses the cuckoo-era rounds' keys while its
+    meta (m_bits unchanged in a tiny world) still passes the layout
+    gate; a false negative in the Bloom pre-filter marks a seen key
+    definite-unseen with no backstop. The round stamp forces
+    _ensure_filter's from-ledger rebuild."""
+    tmp = tmp_path_factory.mktemp("ckpt_ffb")
+    a = _make_job(spark, world, tmp)
+    a.start(world.seeds)
+    for _ in range(2):
+        a.run_round()
+    b = _make_job(
+        spark, world, tmp, seen_accel="cuckoo", cuckoo_m_buckets=1 << 6
+    )
+    b.resume()
+    for _ in range(2):
+        b.run_round()
+    c = _make_job(spark, world, tmp)
+    c.resume()
+    c.run(max_rounds=60)
+    assert c.final_state() == engine_run.final_state()
+    assert c.admitted_sequences() == engine_run.admitted_sequences()
+
+
 def test_bucketed_ledger_cutover_identical(
     spark, world, tmp_path_factory, engine_run
 ):

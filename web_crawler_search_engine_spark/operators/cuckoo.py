@@ -191,6 +191,78 @@ def delete_keys_cuckoo(
     return table.join(victim_pairs, ["bucket", "fp"], "left_anti")
 
 
+def cuckoo_count_updates(
+    keys: DataFrame,
+    key_col: str,
+    m_buckets: int,
+    fp_bits: int = FP_BITS,
+    portable: bool = False,
+    sign: int = 1,
+) -> DataFrame:
+    """COUNTING-filter delta rows ``(bucket, fp, cnt)`` for a key
+    batch — the deletion-safe representation the TTL re-crawl engine
+    mode uses (plans/crawl.py, recrawl_ttl). The set form
+    (cuckoo_updates + distinct) loses multiplicity, so deleting one
+    key's (bucket, fp) pair could strip a second live key sharing the
+    pair — a FALSE NEGATIVE, which the crawl's no-false-negative
+    contract forbids. Counting is Fan et al. 2014's own answer
+    (duplicate fingerprint copies / counting slots): every live
+    insertion contributes +1 at its canonical b1 site, every retire
+    contributes -1 at the same site, so a pair's net count equals the
+    number of LIVE keys stored there and never goes negative. Probe =
+    net count > 0 on either candidate site (see
+    maybe_seen_keys_cuckoo_counting). ``sign=-1`` emits the delete
+    delta. Pre-aggregated per (bucket, fp), O(batch) rows."""
+    fp, b1, _ = cuckoo_cols(F.col(key_col), m_buckets, fp_bits, portable)
+    return (
+        keys.select(b1.alias("bucket"), fp.alias("fp"))
+        .groupBy("bucket", "fp")
+        .agg((F.count("*") * F.lit(sign)).cast("long").alias("cnt"))
+    )
+
+
+def compact_counting(table: DataFrame) -> DataFrame:
+    """Fold a counting-filter log (base + round deltas) to its live
+    pairs: net count per (bucket, fp), rows with net 0 dropped —
+    expired keys vanish from storage here, the compaction the Bloom
+    can only approximate by a full rebuild."""
+    return (
+        table.groupBy("bucket", "fp")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def maybe_seen_keys_cuckoo_counting(
+    batch_keys: DataFrame,
+    table: DataFrame,
+    key_col: str,
+    m_buckets: int,
+    fp_bits: int = FP_BITS,
+    portable: bool = False,
+) -> DataFrame:
+    """Counting-table twin of maybe_seen_keys_cuckoo: a key is MAYBE
+    iff some probed (bucket, fp) pair has net count > 0. No false
+    negatives for live keys: a live key's own +1 at b1 is in its
+    pair's sum, and per-pair nets are never negative (every -1 retires
+    a matching +1), so its pair sums > 0. Shape: restrict the table to
+    the probed pairs (left-semi — the aggregation then runs over the
+    matched sliver, not the O(filter) table), net per pair, semi back
+    to keys."""
+    fp, b1, b2 = cuckoo_cols(F.col(key_col), m_buckets, fp_bits, portable)
+    probes = batch_keys.select(
+        F.col(key_col),
+        fp.alias("fp"),
+        F.explode(F.array(b1, b2)).alias("bucket"),
+    )
+    probed_pairs = probes.select("bucket", "fp").distinct()
+    live_pairs = compact_counting(
+        table.join(probed_pairs.hint("shuffle_hash"), ["bucket", "fp"], "left_semi")
+    )
+    hits = probes.join(live_pairs.hint("shuffle_hash"), ["bucket", "fp"], "left_semi")
+    return hits.select(key_col).distinct()
+
+
 def anti_join_via_cuckoo(
     new_df: DataFrame,
     seen_keys: DataFrame,
@@ -199,6 +271,8 @@ def anti_join_via_cuckoo(
     m_buckets: int = 1 << 20,
     fp_bits: int = FP_BITS,
     broadcast_limit: int = 8_000_000,
+    portable: bool = False,
+    counting: bool = False,
 ):
     """Rows of ``new_df`` whose key is NOT in ``seen_keys`` — the
     drop-in twin of seen.anti_join_via_bloom with the cuckoo table as
@@ -207,15 +281,23 @@ def anti_join_via_cuckoo(
     plain exact anti-join by the no-false-negative invariant (tested
     against it in tests/unit/test_cuckoo.py). Returns
     (unseen, ProbeHandle) — the same contract as the Bloom twin; the
-    caller unpersists the handle after its commit."""
+    caller unpersists the handle after its commit.
+
+    ``portable`` MUST match the flag the ``table`` was built with
+    (cuckoo_table/cuckoo_updates): the probe re-derives (fp, b1, b2)
+    from the key, and a mismatched hash family silently yields false
+    negatives instead of an error (ADVICE r3 low #3). ``counting``
+    selects the counting-table probe (TTL mode) — the ``table`` must
+    then carry (bucket, fp, cnt) rows from cuckoo_count_updates."""
     from .seen import ProbeHandle
 
     # persist the batch: the probe and the final anti-join are two
     # passes over it, and its upstream (scrape + dedup lineage in the
     # crawl) must run once per round (same contract as the Bloom twin)
     batch = new_df.persist()
-    maybe = maybe_seen_keys_cuckoo(
-        batch.select(key_col), table, key_col, m_buckets, fp_bits
+    probe_fn = maybe_seen_keys_cuckoo_counting if counting else maybe_seen_keys_cuckoo
+    maybe = probe_fn(
+        batch.select(key_col), table, key_col, m_buckets, fp_bits, portable
     ).persist()
     handle = ProbeHandle([batch, maybe])
     n_maybe = maybe.count()

@@ -123,6 +123,21 @@ class CrawlConfig:
     # ledger inside that commit, the Bloom's dirty-rebuild idiom.
     seen_accel: str = "bloom"
     cuckoo_m_buckets: int = 1 << 22
+    # TTL re-crawl (engine mode, r4): a fetched URL's seen-set entry
+    # retires ``recrawl_ttl`` rounds after its fetch — rediscovering
+    # it afterwards re-admits it through the normal politeness path
+    # with a fresh discovery_seq. Correctness anchor: the exact
+    # backstop view (_seen_keys) drops a key iff its LATEST frontier
+    # row is a fetch older than the window, so results are
+    # bit-identical across bloom/cuckoo/exact accelerators
+    # (parity-tested vs the RoundSim ttl oracle). Accelerator
+    # maintenance: cuckoo switches to the COUNTING representation and
+    # actually DELETES (a -1 delta per retired key in the round
+    # commit — operators/cuckoo.cuckoo_count_updates); Bloom cannot
+    # delete, so expired keys stay as harmless maybe-hits until the
+    # next compaction/capacity rebuild, which rebuilds from the live
+    # TTL view. None disables (the default crawl-once contract).
+    recrawl_ttl: int | None = None
     compact_every: int = 8
     # above this many distinct parents per round, discovery_seq
     # assignment switches from the driver prefix-sum to the fully
@@ -219,6 +234,17 @@ class CrawlJob:
     ):
         self.spark = spark
         self.config = config
+        if config.recrawl_ttl is not None:
+            if config.recrawl_ttl < 1:
+                raise ValueError("recrawl_ttl must be >= 1 round")
+            if config.seen_ledger_buckets:
+                # the bucketed ledger stores bare (url_key, round)
+                # rows — no status, so it cannot express the TTL
+                # liveness predicate; the TTL seen view reads the
+                # frontier log directly instead
+                raise ValueError(
+                    "recrawl_ttl is not supported with seen_ledger_buckets"
+                )
         ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="crawl_ckpt_")
         self.store = SnapshotStore(spark, ckpt)
         # the synthetic network: keyed by xxhash64(canonical url)
@@ -496,13 +522,52 @@ class CrawlJob:
             )
         self._ledger_version = v
 
-    def _seen_keys(self) -> DataFrame:
+    def _seen_keys(self, probe_round: int | None = None) -> DataFrame:
         """The seen set for this round's X1 joins. With the bucketed
         ledger on, rows are gated on the COMMITTED round: an append
         that landed without its manifest commit (crash window) is
         invisible, and a cache-evicted recompute of the anti-join
         still reads exactly the pre-round key set (the gate literal
-        is frozen into the plan)."""
+        is frozen into the plan).
+
+        TTL mode (recrawl_ttl): a key is seen UNLESS its latest log
+        row is a fetch older than ``probe_round - ttl`` (a rediscovery
+        or denial after the fetch is a later row and keeps the key
+        seen; only-fetched-and-aged keys drop out and become
+        re-admittable). One groupBy(url_key) over the status log — in
+        the accelerated paths this DataFrame is only ever consumed
+        behind a left-semi on url_key against the (small) maybe set,
+        and Catalyst pushes that semi-join BELOW the aggregate (join
+        key == grouping key), so the per-key max only runs over the
+        maybe keys' history, not O(frontier). ``probe_round`` defaults
+        to the round currently being built (self.round + 1); commit-
+        time accelerator rebuilds pass the NEXT probe round so the
+        published state already reflects the keys expiring at this
+        commit's boundary. Survives latest-wins compaction: for an
+        aged fetched key the fetch row IS the latest row, which is
+        exactly the row compaction keeps."""
+        ttl = self.config.recrawl_ttl
+        if ttl is not None:
+            cut = (
+                self.round + 1 if probe_round is None else probe_round
+            ) - ttl
+            agg = (
+                self._log()
+                .select("url_key", "round", "status")
+                .groupBy("url_key")
+                .agg(
+                    F.max("round").alias("_mr"),
+                    F.max(
+                        F.when(F.col("status") == "fetched", F.col("round"))
+                    ).alias("_fr"),
+                )
+            )
+            expired = (
+                F.col("_fr").isNotNull()
+                & (F.col("_mr") == F.col("_fr"))
+                & (F.col("_fr") < F.lit(cut))
+            )
+            return agg.filter(~expired).select("url_key")
         if self.config.seen_ledger_buckets:
             self._ensure_ledger()
             return (
@@ -679,21 +744,45 @@ class CrawlJob:
     def _cuckoo_state(self) -> tuple[DataFrame, bool]:
         """(table, dirty): the standing (bucket, fp) filter to probe
         this round. Clean when the committed ``seen_cuckoo`` log
-        exists AND its recorded m_buckets matches the config —
-        otherwise (legacy checkpoint, config change, or round 1) the
-        table is built lazily from the full URL ledger (the same
-        no-false-negative guarantee the Bloom's dirty rebuild gives:
-        seeds and every earlier round's keys are covered) and the
-        round commit publishes it via log_compact."""
+        exists AND its recorded m_buckets matches the config AND its
+        recorded ``round`` stamp equals the last committed round —
+        otherwise (legacy checkpoint, config change, round 1, or a
+        resume after rounds ran under a DIFFERENT seen_accel, whose
+        keys this log never saw — ADVICE r3 high) the table is built
+        lazily from the full URL ledger (the same no-false-negative
+        guarantee the Bloom's dirty rebuild gives: seeds and every
+        earlier round's keys are covered) and the round commit
+        publishes it via log_compact. The round stamp is re-published
+        at EVERY commit while this accel is active, so stamp ==
+        manifest round ⟺ no other accel owned any committed round
+        since the log was last written."""
         cfg = self.config
+        counting = cfg.recrawl_ttl is not None
         meta = (self.store.manifest() or {}).get("meta", {}).get(
             "seen_cuckoo", {}
         )
-        if meta.get("m_buckets") == cfg.cuckoo_m_buckets:
+        # the ttl gate also covers counting-vs-set layout (counting ⟺
+        # ttl set) AND a ttl VALUE change: retirements fired at the
+        # old boundary make the stored counts wrong for any other ttl
+        if (
+            meta.get("m_buckets") == cfg.cuckoo_m_buckets
+            and meta.get("round") == self.round
+            and meta.get("ttl") == cfg.recrawl_ttl
+        ):
             try:
                 return self.store.load_log("seen_cuckoo"), False
             except FileNotFoundError:
                 pass
+        if counting:
+            # TTL mode: counting table from the LIVE seen view — keys
+            # already expired for this probe round are simply absent,
+            # exactly the state per-round -1 deltas would have left
+            return (
+                cuckoo_ops.cuckoo_count_updates(
+                    self._seen_keys(), "url_key", cfg.cuckoo_m_buckets
+                ),
+                True,
+            )
         return (
             cuckoo_ops.cuckoo_updates(
                 self._seen_keys(), "url_key", cfg.cuckoo_m_buckets
@@ -721,8 +810,19 @@ class CrawlJob:
         want_m = self._want_m()
         if self._seen_words is not None and self._m_bits == want_m:
             return
+        # the from-log path additionally requires the log's round
+        # stamp to equal the last committed round: rounds committed
+        # under seen_accel="cuckoo" never append Bloom words, so a
+        # stale stamp means the log is missing those rounds' keys and
+        # must be rebuilt from the ledger (ADVICE r3 high — the
+        # symmetric case of _cuckoo_state's gate).
         meta = (self.store.manifest() or {}).get("meta", {}).get("seen_bloom", {})
-        if self._seen_words is None and meta.get("m_bits") == want_m:
+        if (
+            self._seen_words is None
+            and meta.get("m_bits") == want_m
+            and meta.get("round") == self.round
+            and meta.get("ttl") == cfg.recrawl_ttl
+        ):
             try:
                 log = self.store.load_log("seen_bloom")
             except FileNotFoundError:
@@ -738,8 +838,13 @@ class CrawlJob:
                 self._filter_log_dirty = False
                 return
         self._m_bits = want_m
+        rebuild_keys = (
+            self._seen_keys()
+            if cfg.recrawl_ttl is not None
+            else self._log().select("url_key")
+        )
         self._seen_words = seen_ops.bloom_word_updates(
-            self._log().select("url_key"), "url_key", want_m, cfg.bloom_k
+            rebuild_keys, "url_key", want_m, cfg.bloom_k
         ).localCheckpoint(eager=False)
         self._delta_words = None
         # any existing log may be stale or an older layout: the next
@@ -904,6 +1009,7 @@ class CrawlJob:
                 "url_key",
                 m_buckets=cfg.cuckoo_m_buckets,
                 broadcast_limit=cfg.bloom_broadcast_limit,
+                counting=cfg.recrawl_ttl is not None,
             )
         elif cfg.use_bloom:
             self._ensure_filter()
@@ -1122,52 +1228,120 @@ class CrawlJob:
         bloom_meta = None
         bloom_rebuilt = False
         self._n_seen += n_new
-        if cfg.use_bloom and cfg.seen_accel == "cuckoo" and n_new > 0:
+        if cfg.use_bloom and cfg.seen_accel == "cuckoo":
             # cuckoo accelerator state — same single-commit discipline
             # as the Bloom word delta below: the (bucket, fp) rows for
             # this round's keys publish IN the round manifest, and a
             # dirty table (legacy checkpoint / m_buckets change /
-            # round 1) is rebuilt from the full URL ledger via
-            # log_compact in that same atomic commit.
+            # round 1 / accel flip — see _cuckoo_state) is rebuilt
+            # from the full URL ledger via log_compact in that same
+            # atomic commit. The meta carries a ``round`` stamp and is
+            # re-published EVERY active round (even n_new == 0), so a
+            # later resume can tell a complete log from one that
+            # missed rounds committed under the other accelerator
+            # (ADVICE r3 high), and a dirty rebuild is published even
+            # on a zero-discovery round (ADVICE r3 low #2 — skipping
+            # it left every later round re-deriving the table from
+            # the O(ledger) URL log at probe time).
+            ttl = cfg.recrawl_ttl
             bloom_meta = {
-                "seen_cuckoo": {"m_buckets": cfg.cuckoo_m_buckets}
+                "seen_cuckoo": {
+                    "m_buckets": cfg.cuckoo_m_buckets,
+                    "round": r,
+                    "ttl": ttl,
+                }
             }
             if self._cuckoo_dirty:
-                all_keys = self._log().select("url_key").unionByName(
-                    new_links.select("url_key")
-                )
-                commit_compacts["seen_cuckoo"] = cuckoo_ops.cuckoo_updates(
-                    all_keys, "url_key", cfg.cuckoo_m_buckets
-                )
-            else:
+                if ttl is not None:
+                    # counting rebuild from the live TTL view at the
+                    # NEXT probe round's cut: keys expiring at this
+                    # boundary are already absent, so no -1 delta is
+                    # appended alongside a rebuild
+                    commit_compacts["seen_cuckoo"] = (
+                        cuckoo_ops.cuckoo_count_updates(
+                            self._seen_keys(probe_round=r + 1).unionByName(
+                                new_links.select("url_key")
+                            ),
+                            "url_key",
+                            cfg.cuckoo_m_buckets,
+                        )
+                    )
+                else:
+                    all_keys = self._log().select("url_key").unionByName(
+                        new_links.select("url_key")
+                    )
+                    commit_compacts["seen_cuckoo"] = cuckoo_ops.cuckoo_updates(
+                        all_keys, "url_key", cfg.cuckoo_m_buckets
+                    )
+            elif ttl is not None:
+                # TTL counting deltas: +1 per discovered key, -1 per
+                # key retiring at this commit's boundary (its latest
+                # row is the fetch of round r - ttl — the round whose
+                # fetches expire for round r+1's probe). The cuckoo
+                # filter actually DELETES — the op Bloom cannot do.
+                delta = None
+                if n_new > 0:
+                    delta = cuckoo_ops.cuckoo_count_updates(
+                        new_links.select("url_key"),
+                        "url_key",
+                        cfg.cuckoo_m_buckets,
+                    )
+                if r - ttl >= 1:
+                    victims = self._log().filter(
+                        (F.col("status") == "fetched")
+                        & (F.col("round") == F.lit(r - ttl))
+                    )
+                    retire = cuckoo_ops.cuckoo_count_updates(
+                        victims.select("url_key"),
+                        "url_key",
+                        cfg.cuckoo_m_buckets,
+                        sign=-1,
+                    )
+                    delta = (
+                        retire if delta is None else delta.unionByName(retire)
+                    )
+                if delta is not None:
+                    commit_appends["seen_cuckoo"] = delta
+            elif n_new > 0:
                 commit_appends["seen_cuckoo"] = cuckoo_ops.cuckoo_updates(
                     new_links.select("url_key"),
                     "url_key",
                     cfg.cuckoo_m_buckets,
                 )
-        elif cfg.use_bloom and n_new > 0:
+        elif cfg.use_bloom:
             want_m = self._want_m()
             bloom_meta = {
                 "seen_bloom": {
                     "m_bits": want_m,
                     "k": cfg.bloom_k,
                     "n_keys": self._n_seen,
+                    "round": r,
+                    "ttl": cfg.recrawl_ttl,
                 }
             }
             if want_m != self._m_bits or self._filter_log_dirty:
                 # rebuild at the new layout from the full URL ledger:
                 # the pre-commit log plus this round's discoveries
                 # (denied/fetched rows only change status of keys the
-                # log already holds)
+                # log already holds). TTL mode rebuilds from the LIVE
+                # view — Bloom can't delete, so capacity rebuilds and
+                # compaction are where expired keys actually leave the
+                # filter (between rebuilds they are harmless
+                # maybe-hits resolved by the TTL-aware backstop).
                 self._m_bits = want_m
-                all_keys = self._log().select("url_key").unionByName(
+                base_keys = (
+                    self._seen_keys(probe_round=r + 1)
+                    if cfg.recrawl_ttl is not None
+                    else self._log().select("url_key")
+                )
+                all_keys = base_keys.unionByName(
                     new_links.select("url_key")
                 )
                 commit_compacts["seen_bloom"] = seen_ops.bloom_word_updates(
                     all_keys, "url_key", want_m, cfg.bloom_k
                 )
                 bloom_rebuilt = True
-            else:
+            elif n_new > 0:
                 commit_appends["seen_bloom"] = seen_ops.bloom_word_updates(
                     new_links.select("url_key"),
                     "url_key",
@@ -1263,14 +1437,14 @@ class CrawlJob:
         # small ACCUMULATOR layer only — the O(m) base is untouched
         # until compaction, so the per-round filter refresh costs
         # O(words touched since compaction), never O(m_bits).
-        if cfg.use_bloom and cfg.seen_accel != "cuckoo" and n_new > 0:
+        if cfg.use_bloom and cfg.seen_accel != "cuckoo":
             if bloom_rebuilt:
                 self._seen_words = self.store.load_log(
                     "seen_bloom"
                 ).localCheckpoint(eager=False)
                 self._delta_words = None
                 self._filter_log_dirty = False
-            else:
+            elif n_new > 0:
                 round_delta = self.store.load_log_delta("seen_bloom", r)
                 self._delta_words = (
                     round_delta
@@ -1347,18 +1521,38 @@ class CrawlJob:
             "seen_bloom"
         )
         if fold_bloom:
-            compacted["seen_bloom"] = (
-                self.store.load_log("seen_bloom")
-                .groupBy("word_id")
-                .agg(F.bit_or("word").alias("word"))
-            )
+            if self.config.recrawl_ttl is not None:
+                # TTL mode: compaction is where expired keys actually
+                # leave the Bloom (documented rebuild-on-compaction —
+                # the filter can't delete, so rebuild from the live
+                # TTL view at the next probe round's cut)
+                compacted["seen_bloom"] = seen_ops.bloom_word_updates(
+                    self._seen_keys(),
+                    "url_key",
+                    self._m_bits or self._want_m(),
+                    self.config.bloom_k,
+                )
+            else:
+                compacted["seen_bloom"] = (
+                    self.store.load_log("seen_bloom")
+                    .groupBy("word_id")
+                    .agg(F.bit_or("word").alias("word"))
+                )
         if self.store.log_delta_count("seen_cuckoo"):
-            # fold duplicate (bucket, fp) pairs across round deltas
-            # (probing ignores dups; compaction bounds the file count
-            # and row growth, same contract as the word log)
-            compacted["seen_cuckoo"] = self.store.load_log(
-                "seen_cuckoo"
-            ).distinct()
+            if self.config.recrawl_ttl is not None:
+                # counting table: net per pair, zero-count (expired)
+                # pairs physically dropped
+                compacted["seen_cuckoo"] = cuckoo_ops.compact_counting(
+                    self.store.load_log("seen_cuckoo")
+                )
+            else:
+                # fold duplicate (bucket, fp) pairs across round
+                # deltas (probing ignores dups; compaction bounds the
+                # file count and row growth, same contract as the
+                # word log)
+                compacted["seen_cuckoo"] = self.store.load_log(
+                    "seen_cuckoo"
+                ).distinct()
         ledger_meta = None
         old_ledger_version = None
         if self.config.seen_ledger_buckets:
