@@ -34,6 +34,11 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
        quantizer) for SPARK_GRAFT_ANN_QUERIES (default 32) queries
        over a synthesized float-vector corpus; reports speedup,
        candidate-pair volumes, and recall@3,
+     SPARK_GRAFT_BENCH_MODE=serve_rehearsal: warm search serving —
+       build + write a token-bucketed index over a distributively
+       synthesized page corpus, load it once, then measure per-query
+       warm latency (p50/p90 ms) through the full search lifecycle
+       (SPARK_GRAFT_SERVE_QUERIES queries, default 32),
      SPARK_GRAFT_BENCH_MODE=cuckoo_rehearsal + SPARK_GRAFT_DELTA:
        cuckoo-vs-Bloom seen-accelerator comparison on one standing
        state and one link batch (probe times, agreement, and the
@@ -76,6 +81,7 @@ HEADLINERS = [
     "q_dedup_simhash",
     "q_dedup_simhash_pairs",
     "q_ngram_jaccard",
+    "q_dedup_embedding_cosine",
     "q_winnow_fingerprints",
     "q_ann_cosine_topk",
     "q_ann_lsh_buckets",
@@ -86,6 +92,7 @@ HEADLINERS = [
     "q_paragraph_dedup",
     "q_substring_spans",
     "q_semdedup",
+    "q_semdedup_trained",
     "q_pagerank",
     "q_bm25",
     "q_decontaminate",
@@ -882,6 +889,128 @@ def bench_ann_rehearsal(spark: SparkSession, n: int, cpus: int) -> dict:
     }
 
 
+def bench_serve_rehearsal(spark: SparkSession, n_pages: int, cpus: int) -> dict:
+    """Warm search SERVING latency (r3 verdict item 7): the honest
+    analog of the reference's resident process ("a few ms" per query
+    over a 55k-page in-process index, README.md:23). One session
+    builds + writes the token-bucketed index, loads it ONCE
+    (read_index + persist, the long-lived server's state), then runs
+    M warm queries through the full plans/search.py lifecycle and
+    reports per-query wall latency (p50/p90) next to the cold first
+    query. The scan stays pruned to the query's token buckets — the
+    property that makes warm latency independent of index size.
+
+    The page corpus is synthesized DISTRIBUTIVELY (JVM expressions
+    over spark.range — no driver-side world loop), so the mode scales
+    to whatever SPARK_GRAFT_FRONTIER asks for."""
+    import shutil
+    import tempfile
+
+    from web_crawler_search_engine_spark.plans.indexer import (
+        build_index,
+        read_index,
+        write_index,
+    )
+    from web_crawler_search_engine_spark.plans.search import (
+        search,
+        search_rows,
+    )
+    from web_crawler_search_engine_spark.sources.corpus import _WORDS
+
+    vocab = sorted(set(_WORDS))
+    varr = F.array(*[F.lit(w) for w in vocab])
+
+    def word(j: int):
+        idx = (
+            F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(len(vocab))) + 1
+        ).cast("int")
+        return F.element_at(varr, idx)
+
+    title = F.concat_ws(" ", word(0), word(1))
+    body = F.concat_ws(" ", *[word(j) for j in range(2, 60)])
+    content = F.concat(
+        F.lit("<html><head><title>"),
+        title,
+        F.lit("</title></head><body><h1>"),
+        title,
+        F.lit("</h1><p>"),
+        body,
+        F.lit("</p></body></html>"),
+    )
+    pages = spark.range(n_pages).select(
+        F.concat(F.lit("http://bench.example/p"), F.col("id")).alias("url"),
+        content.alias("content"),
+    )
+
+    t0 = time.monotonic()
+    docs, postings, n_docs = build_index(pages)
+    tmp = tempfile.mkdtemp(prefix="serve_idx_")
+    write_index(docs, postings, tmp)
+    build_s = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    postings_r, docs_r, buckets = read_index(spark, tmp)
+    postings_r = postings_r.persist()
+    docs_r = docs_r.persist()
+    n_postings = postings_r.count()
+    docs_r.count()
+    load_s = time.monotonic() - t0
+
+    # serving-session tuning (runtime-settable confs, restored after):
+    # a top-5 query aggregates a few thousand postings rows — 64
+    # shuffle partitions means 64 near-empty reduce tasks per query,
+    # and AQE's per-stage re-planning adds latency a point query
+    # never amortizes. A resident server would run exactly this
+    # config; the bulk bench modes keep theirs.
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus // 4, 2)))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    # deterministic 2-word queries off the same vocab stream the
+    # corpus used — every query has matching documents
+    n_q = int(os.environ.get("SPARK_GRAFT_SERVE_QUERIES", "32"))
+    queries = [
+        f"{vocab[(7 * i) % len(vocab)]} {vocab[(11 * i + 3) % len(vocab)]}"
+        for i in range(n_q + 1)
+    ]
+    t0 = time.monotonic()
+    cold_rows = search(
+        postings_r, docs_r, queries[0], k=5, buckets=buckets
+    ).collect()
+    cold_ms = (time.monotonic() - t0) * 1000.0
+    # serving-path equivalence spot check on the cold query
+    warm0 = search_rows(postings_r, docs_r, queries[0], k=5, buckets=buckets)
+    assert [r.asDict() for r in cold_rows] == warm0
+
+    lat_ms = []
+    for q in queries[1:]:
+        t0 = time.monotonic()
+        rows = search_rows(postings_r, docs_r, q, k=5, buckets=buckets)
+        lat_ms.append((time.monotonic() - t0) * 1000.0)
+        assert rows, q
+    lat_ms.sort()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    shutil.rmtree(tmp, ignore_errors=True)
+    postings_r.unpersist()
+    docs_r.unpersist()
+    p = lambda q: lat_ms[min(int(q * len(lat_ms)), len(lat_ms) - 1)]  # noqa: E731
+    return {
+        "frontier_sched_sec": round(p(0.5) / 1000.0, 4),
+        "n_pages": n_pages,
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "index_build_sec": round(build_s, 3),
+        "index_load_sec": round(load_s, 3),
+        "cold_query_ms": round(cold_ms, 1),
+        "warm_p50_ms": round(p(0.5), 1),
+        "warm_p90_ms": round(p(0.9), 1),
+        "warm_mean_ms": round(sum(lat_ms) / len(lat_ms), 1),
+        "n_queries": len(lat_ms),
+    }
+
+
 def _min_rep(reps: list[dict]) -> dict:
     return min(reps, key=lambda r: r["frontier_sched_sec"])
 
@@ -993,6 +1122,27 @@ def main() -> None:
                 p: [r["phases"].get(p) for r in reps]
                 for p in reps[0]["phases"]
             },
+            **best,
+        }
+        print(json.dumps(out))
+        return
+
+    if mode == "serve_rehearsal":
+        n_pages = int(
+            os.environ.get("SPARK_GRAFT_FRONTIER", str(max(default_n // 10, 10_000)))
+        )
+        reps = [
+            bench_serve_rehearsal(spark, n_pages, cpus)
+            for _ in range(n_reps)
+        ]
+        best = _min_rep(reps)
+        out = {
+            "metric": "warm_search_p50_sec",
+            "value": best["frontier_sched_sec"],
+            "unit": "sec",
+            "sf": None,
+            "cpus": cpus,
+            "reps_sec": [r["frontier_sched_sec"] for r in reps],
             **best,
         }
         print(json.dumps(out))

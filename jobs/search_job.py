@@ -35,6 +35,15 @@ def main() -> None:
     )
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--query", action="append", default=None)
+    ap.add_argument(
+        "--serve",
+        action="store_true",
+        help="resident serving mode: persist the loaded index once, "
+        "answer queries via the driver-side warm path "
+        "(plans/search.search_rows), and report per-query latency_ms "
+        "in each JSON line — the analog of the reference's long-lived "
+        "search process (start_search_engine.py:14-27)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -46,7 +55,7 @@ def main() -> None:
     spark = b.getOrCreate()
 
     from web_crawler_search_engine_spark.plans.indexer import read_index
-    from web_crawler_search_engine_spark.plans.search import search
+    from web_crawler_search_engine_spark.plans.search import search, search_rows
     from web_crawler_search_engine_spark.sources.checkpoints import SnapshotStore
 
     postings, docs, buckets = read_index(spark, args.index)
@@ -57,6 +66,39 @@ def main() -> None:
             .load_log("pages")
             .select("url", "content")
         )
+    if args.serve:
+        import time
+
+        # resident state: materialize the index once; every query
+        # after this scans the cached, bucket-pruned postings only
+        postings = postings.persist()
+        docs = docs.persist()
+        postings.count()
+        docs.count()
+        if pages is not None:
+            pages = pages.persist()
+            pages.count()
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism // 4, 2)),
+        )
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        queries = args.query or (q.strip() for q in sys.stdin)
+        for q in queries:
+            if not q:
+                continue
+            t0 = time.monotonic()
+            out = search_rows(
+                postings, docs, q, k=args.k, pages=pages, buckets=buckets
+            )
+            ms = (time.monotonic() - t0) * 1000.0
+            print(
+                json.dumps(
+                    {"query": q, "latency_ms": round(ms, 1), "results": out}
+                ),
+                flush=True,
+            )
+        return
 
     queries = args.query or [q.strip() for q in sys.stdin if q.strip()]
     for q in queries:

@@ -164,3 +164,21 @@ def test_search_over_crawled_index_with_snippets(crawl_index, job, world, oracle
         for r in out:
             expect = osim.context_oracle(by_url[r["url"]]["content"], used)
             assert r["context"] == expect, (q, r["url"])
+
+
+def test_search_rows_serving_path_identical(crawl_index, job):
+    """plans/search.search_rows (the --serve / serve_rehearsal warm
+    path) must return exactly search()'s rows — same docs, scores,
+    order, and snippets — for hit, fallback-hit, and miss queries."""
+    docs_df, postings_df, _ = crawl_index
+    pages = job.pages().select("url", "content")
+    for q in ("lantern", "granite harbor", "the crawler walks",
+              "zzznotaword", "harbors"):
+        want = [
+            r.asDict()
+            for r in S.search(
+                postings_df, docs_df, q, pages=pages
+            ).collect()
+        ]
+        got = S.search_rows(postings_df, docs_df, q, pages=pages)
+        assert got == want, q

@@ -158,3 +158,60 @@ def search(
             F.coalesce(F.col("context"), F.lit("")).alias("context"),
         )
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def search_rows(
+    postings: DataFrame,
+    docs: DataFrame,
+    query: str,
+    k: int = 5,
+    pages: DataFrame | None = None,
+    buckets: int | None = None,
+) -> list[dict]:
+    """Warm-serving twin of ``search`` (r3 verdict item 7): identical
+    results as plain dicts, optimized for a RESIDENT process answering
+    many queries over one loaded index (jobs/search_job.py --serve,
+    bench serve_rehearsal).
+
+    ``search`` pays two extra per-query costs that only matter at
+    point-query latency: a createDataFrame + broadcast-exchange to
+    join the ≤k hits into the docs table, and another for snippets.
+    Here the ≤k hit set stays DRIVER-side and the metadata/pages
+    lookups are plain isin-filtered scans (still pruned/cached,
+    still one job each, no exchange). Equivalence with ``search`` is
+    pinned by tests/unit/test_plans.py."""
+    tokens = query_tokens(query)
+    hits = topk(postings, tokens, k, buckets=buckets).collect()
+    if not hits:
+        tokens = fallback_tokens(query)
+        hits = topk(postings, tokens, k, buckets=buckets).collect()
+    if not hits:
+        return []
+    score = {r["doc_id"]: r["score"] for r in hits}
+    meta = (
+        docs.filter(F.col("doc_id").isin(list(score)))
+        .select("doc_id", "url", "title")
+        .collect()
+    )
+    out = [
+        {
+            "doc_id": m["doc_id"],
+            "url": m["url"],
+            "title": m["title"],
+            "score": score[m["doc_id"]],
+        }
+        for m in meta
+    ]
+    if pages is not None:
+        ctx_rows = (
+            pages.filter(F.col("url").isin([o["url"] for o in out]))
+            .select(
+                "url", snippet_col(F.col("content"), tokens).alias("context")
+            )
+            .collect()
+        )
+        ctx = {r["url"]: r["context"] for r in ctx_rows}
+        for o in out:
+            o["context"] = ctx.get(o["url"], "")
+    out.sort(key=lambda o: (-o["score"], o["doc_id"]))
+    return out
