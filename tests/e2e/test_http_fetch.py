@@ -1,0 +1,170 @@
+"""Real HTTP fetch mode (S4, fetch_mode="http" — r3 verdict
+missing-item 2 / next-round 8): one e2e crawl over a localhost fixture
+server must be bit-for-bit the corpus-join crawl on the same graph.
+
+The canonical URL form is ALWAYS https (the reference's normalize
+rewrites http:// — utils/__init__.py:34-38), so the fixture serves
+TLS with a self-signed cert and the job runs with
+fetch_verify_tls=False (requests' verify=False analog). The
+reference's download semantics are exercised: 404s for off-graph
+paths, and one EMPTY-body page (the download.py:4-18 empty→404
+synthesis)."""
+
+import socket
+import ssl
+import subprocess
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from web_crawler_search_engine_spark.plans.crawl import CrawlConfig, CrawlJob
+from web_crawler_search_engine_spark.sources.corpus import (
+    POLITENESS,
+    USER_AGENT,
+    SynthWorld,
+    corpus_df,
+    generate_world,
+    robots_src_df,
+)
+
+T = 4.0
+
+
+def _rewrite_world(world: SynthWorld, netloc: str) -> SynthWorld:
+    """Single-host world re-rooted onto the fixture netloc (the
+    memoized source world is read-only — deep-copy the rows). URLs
+    stay https — that IS the canonical form the engine crawls."""
+    old_abs, new_abs = "https://h0.example.test", f"https://{netloc}"
+    rows = []
+    for r in world.rows:
+        r2 = dict(r)
+        r2["url"] = r["url"].replace(old_abs, new_abs)
+        r2["host"] = netloc
+        r2["content"] = (
+            r["content"]
+            .replace(old_abs, new_abs)
+            .replace("h0.example.test", netloc)
+        )
+        rows.append(r2)
+    return SynthWorld(
+        rows=rows,
+        robots={netloc: world.robots.get("h0.example.test")},
+        seeds=[u.replace(old_abs, new_abs) for u in world.seeds],
+        root_domains=[netloc],
+    )
+
+
+@pytest.fixture(scope="module")
+def served_world(tmp_path_factory):
+    src = generate_world(n=40, hosts=1, seed=13, with_images=False)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    netloc = f"127.0.0.1:{port}"
+    world = _rewrite_world(src, netloc)
+    by_url = world.by_url()
+    empty_url = world.rows[7]["url"]  # served with an EMPTY body
+
+    certdir = tmp_path_factory.mktemp("tls")
+    crt, key = str(certdir / "srv.crt"), str(certdir / "srv.key")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", key, "-out", crt, "-days", "2",
+            "-subj", "/CN=127.0.0.1",
+        ],
+        check=True,
+        capture_output=True,
+    )
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            url = f"https://{netloc}{self.path}"
+            row = by_url.get(url)
+            if row is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = b"" if url == empty_url else row["content"].encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # silence per-request stderr noise
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(crt, key)
+    httpd.socket = ctx.wrap_socket(httpd.socket, server_side=True)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield world, empty_url
+    httpd.shutdown()
+
+
+def _run(spark, world, tmp, fetch_mode, corpus):
+    cfg = CrawlConfig(
+        root_domains=world.root_domains,
+        user_agent=USER_AGENT,
+        politeness=POLITENESS,
+        round_duration=T,
+        salt_buckets=4,
+        host_buckets=4,
+        fetch_mode=fetch_mode,
+        fetch_verify_tls=False,
+    )
+    job = CrawlJob(
+        spark,
+        corpus,
+        robots_src_df(spark, world),
+        cfg,
+        checkpoint_dir=str(tmp),
+    )
+    job.start(world.seeds)
+    job.run(max_rounds=40)
+    return job
+
+
+def test_http_crawl_bitforbit_vs_corpus_crawl(
+    spark, served_world, tmp_path_factory
+):
+    world, empty_url = served_world
+    # corpus-mode oracle run: the SAME graph, but the empty-body page
+    # must read as nothing-fetched there too (null content row)
+    from pyspark.sql import functions as F
+
+    corpus_w_empty = corpus_df(spark, world).withColumn(
+        "content",
+        F.when(F.col("url") == empty_url, F.lit(None)).otherwise(
+            F.col("content")
+        ),
+    )
+    a = _run(
+        spark,
+        world,
+        tmp_path_factory.mktemp("ckpt_http"),
+        "http",
+        corpus=None,
+    )
+    b = _run(
+        spark,
+        world,
+        tmp_path_factory.mktemp("ckpt_corp"),
+        "corpus",
+        corpus=corpus_w_empty,
+    )
+    assert a.admitted_sequences() == b.admitted_sequences()
+    assert a.final_state() == b.final_state()
+    # the http crawl actually fetched real bytes over the socket
+    pages = a.pages()
+    n_pages = pages.count()
+    assert n_pages > 0
+    # all but the world's planted non-HTML pages are real HTML bodies
+    assert pages.filter(F.col("content").contains("<html")).count() >= n_pages - 2
+    # and the empty-body page produced NO pages row (empty→404)
+    assert pages.filter(F.col("url") == empty_url).count() == 0

@@ -138,6 +138,18 @@ class CrawlConfig:
     # next compaction/capacity rebuild, which rebuilds from the live
     # TTL view. None disables (the default crawl-once contract).
     recrawl_ttl: int | None = None
+    # S4 fetch stage: "corpus" (default — the graft contract's
+    # deterministic join against the synthetic network) or "http"
+    # (sources/httpfetch.py — Arrow-batched mapInPandas GET with the
+    # reference's download semantics: 5 s timeout, empty/failed body
+    # reads as nothing-fetched). Robots stay on the robots_src table
+    # in both modes (S5's fetch-once network is a separate source).
+    fetch_mode: str = "corpus"
+    fetch_timeout: float = 5.0
+    # requests-style verify flag: canonical URLs are always https
+    # (the reference's normalize rewrites http://), so self-signed
+    # endpoints (and the e2e fixture server) need verify off
+    fetch_verify_tls: bool = True
     compact_every: int = 8
     # above this many distinct parents per round, discovery_seq
     # assignment switches from the driver prefix-sum to the fully
@@ -247,8 +259,10 @@ class CrawlJob:
                 )
         ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="crawl_ckpt_")
         self.store = SnapshotStore(spark, ckpt)
+        if corpus is None and config.fetch_mode != "http":
+            raise ValueError("corpus is required unless fetch_mode='http'")
         # the synthetic network: keyed by xxhash64(canonical url)
-        self.corpus = corpus.persist()
+        self.corpus = corpus.persist() if corpus is not None else None
         self.robots_src = robots_src
         self._allows = H.make_robots_allows(config.user_agent)
         self._delay = H.make_robots_delay(config.user_agent)
@@ -932,27 +946,40 @@ class CrawlJob:
             .persist()
         )
 
-        # 4. fetch join vs the corpus (J5) — keys are xxhash64(url):
-        #    uniform, skew-free regardless of host skew. The full
-        #    image+caption payload rides along for the pages sink.
-        corpus = self.corpus.select(
-            F.col("url_key"),
-            F.col("url").alias("_corpus_url"),
-            "content",
-            "image_id",
-            "bytes",
-            "w",
-            "h",
-            "fmt",
-            "caption",
-            "phash",
-        )
-        fetched = (
-            admitted.join(corpus, "url_key", "left")
-            .filter(F.col("_corpus_url").isNull() | (F.col("_corpus_url") == F.col("url")))
-            .drop("_corpus_url")
-            .persist()
-        )
+        # 4. fetch stage (J5/S4). Default: deterministic join vs the
+        #    corpus — keys are xxhash64(url): uniform, skew-free
+        #    regardless of host skew; the full image+caption payload
+        #    rides along for the pages sink. fetch_mode="http" swaps
+        #    in the real mapInPandas batch fetcher with identical
+        #    output schema (sources/httpfetch.py) — every downstream
+        #    stage is shared between modes.
+        if cfg.fetch_mode == "http":
+            from ..sources.httpfetch import http_fetch
+
+            fetched = http_fetch(
+                admitted,
+                timeout=cfg.fetch_timeout,
+                verify_tls=cfg.fetch_verify_tls,
+            ).persist()
+        else:
+            corpus = self.corpus.select(
+                F.col("url_key"),
+                F.col("url").alias("_corpus_url"),
+                "content",
+                "image_id",
+                "bytes",
+                "w",
+                "h",
+                "fmt",
+                "caption",
+                "phash",
+            )
+            fetched = (
+                admitted.join(corpus, "url_key", "left")
+                .filter(F.col("_corpus_url").isNull() | (F.col("_corpus_url") == F.col("url")))
+                .drop("_corpus_url")
+                .persist()
+            )
         # 5. pages sink (S6 — crawler/worker.py:36-49): one row per
         #    successful fetch, image payload + caption carried through
         pages = fetched.filter(F.col("content").isNotNull()).select(
