@@ -179,6 +179,21 @@ def assign_seq_within_parents(
     pre-partitioned on the key (the crawl's post-dedup layout), the
     wide window wins at every core count, so the skinny mode is gone.
 
+    r4 re-A/B (tools/seqassign_ab.py, interleaved same-JVM, the r3
+    verdict's item 5 ask): skinny re-loses under the r3.9 surrounding
+    phases (4.41 vs 3.31 s at c8; 12.29 vs 7.07 s at c2), and two
+    cache-layout variants aimed at the phase's memory-bandwidth
+    ceiling — ranked persisted DISK_ONLY (serialized+lz4 via the
+    block manager) and MEMORY_AND_DISK (serialized in memory) — are
+    a DEAD HEAT with the plain deserialized cache across two bracketed
+    passes (c8 mins 3.25/3.16/3.20; c2 mins 7.05/7.02/7.03; a first-
+    pass 11% disk win did not replicate). The phase's sub-0.7 N→4N
+    scaling tracks the HOST's mem_stream calibration ceiling
+    (0.55–0.70 in the same windows): the cache write moves wide-row
+    bytes, and one box cannot multiply memory bandwidth with
+    executors — on a real multi-node cluster the write is against
+    per-node bandwidth. Shape kept: wide window + deserialized cache.
+
     The input is NOT persisted here — the caller passes its round
     batch already cached (the crawl persists the probed batch), so the
     passes (counts, rank) all hit that cache. (The r1 version
