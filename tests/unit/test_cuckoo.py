@@ -208,3 +208,96 @@ def test_portable_hash_pinned_to_md5(spark):
         assert r["fp"] == fp, r["k"]
         assert r["b1"] == b1, r["k"]
         assert r["b2"] == b1 ^ alt, r["k"]
+
+
+# -- counting representation (TTL engine mode, r4) ----------------------
+
+
+def test_counting_no_false_negatives_and_delete(spark):
+    """Insert 3000, retire 500: every live key stays maybe; the
+    retired slice's survivors are exactly chance fp-sharers (and with
+    a BIG table, none)."""
+    inserted = _keys(spark, 0, 3000)
+    expired = _keys(spark, 0, 500)
+    tab = ck.cuckoo_count_updates(inserted, "url_key", M)
+    tab = tab.unionByName(
+        ck.cuckoo_count_updates(expired, "url_key", M, sign=-1)
+    )
+    live = _keys(spark, 500, 3000)
+    maybe = set(
+        r["url_key"]
+        for r in ck.maybe_seen_keys_cuckoo_counting(
+            _keys(spark, 0, 3000), tab, "url_key", M
+        ).collect()
+    )
+    live_set = set(r["url_key"] for r in live.collect())
+    assert live_set <= maybe  # no false negative for any live key
+    # compaction drops the net-zero pairs physically
+    folded = ck.compact_counting(tab)
+    assert folded.filter(F.col("cnt") <= 0).count() == 0
+
+
+def test_counting_safe_under_shared_pairs_where_set_form_is_not(spark):
+    """The motivating case: TWO live keys sharing a (bucket, fp) pair.
+    Retiring one via the SET form's delete clears the shared pair and
+    makes the OTHER live key a false negative; the counting form keeps
+    net 1 and stays no-false-negative. Forced via a 2-bucket table
+    (m=2) where collisions are guaranteed at this volume."""
+    m2, fp2 = 2, 2  # 2 buckets x 3 fp values: sharing is guaranteed
+    inserted = _keys(spark, 0, 64)
+    victims = _keys(spark, 0, 32)
+    live = _keys(spark, 32, 64)
+    live_set = set(r["url_key"] for r in live.collect())
+
+    set_tab = ck.cuckoo_updates(inserted, "url_key", m2, fp_bits=fp2)
+    set_after = ck.delete_keys_cuckoo(
+        set_tab, victims, "url_key", m2, fp_bits=fp2
+    )
+    set_maybe = set(
+        r["url_key"]
+        for r in ck.maybe_seen_keys_cuckoo(
+            live, set_after, "url_key", m2, fp_bits=fp2
+        ).collect()
+    )
+    assert live_set - set_maybe, "fixture no longer forces pair sharing"
+
+    cnt_tab = ck.cuckoo_count_updates(
+        inserted, "url_key", m2, fp_bits=fp2
+    ).unionByName(
+        ck.cuckoo_count_updates(victims, "url_key", m2, fp_bits=fp2, sign=-1)
+    )
+    cnt_maybe = set(
+        r["url_key"]
+        for r in ck.maybe_seen_keys_cuckoo_counting(
+            live, cnt_tab, "url_key", m2, fp_bits=fp2
+        ).collect()
+    )
+    assert live_set <= cnt_maybe
+
+
+def test_counting_reinsert_after_retire(spark):
+    """retire then re-insert (the TTL rediscovery cycle): net returns
+    to 1 and the key is maybe again; a second retire takes it back
+    out."""
+    k = _keys(spark, 0, 100)
+    tab = ck.cuckoo_count_updates(k, "url_key", M)
+    tab = tab.unionByName(ck.cuckoo_count_updates(k, "url_key", M, sign=-1))
+    tab = tab.unionByName(ck.cuckoo_count_updates(k, "url_key", M))
+    maybe = ck.maybe_seen_keys_cuckoo_counting(k, tab, "url_key", M)
+    assert maybe.count() == 100
+    tab = tab.unionByName(ck.cuckoo_count_updates(k, "url_key", M, sign=-1))
+    assert ck.compact_counting(tab).count() == 0
+
+
+def test_counting_anti_join_equals_exact(spark):
+    seen = _keys(spark, 0, 2000)
+    batch = _keys(spark, 1000, 4000)
+    tab = ck.cuckoo_count_updates(seen, "url_key", M)
+    got, handle = ck.anti_join_via_cuckoo(
+        batch, seen, tab, "url_key", M, counting=True
+    )
+    want = batch.join(seen, "url_key", "left_anti")
+    assert sorted(r["url_key"] for r in got.collect()) == sorted(
+        r["url_key"] for r in want.collect()
+    )
+    handle.unpersist()

@@ -213,3 +213,79 @@ def test_robots_fetch_once_builds_the_bounded_side(spark):
         assert all(r["fetched"] and r["fetch_round"] == 3 for r in rows.values())
     finally:
         hit.unpersist()
+
+
+def test_ttl_seen_view_semi_pushes_below_aggregate(spark, tmp_path_factory):
+    """The TTL liveness view (_seen_keys with recrawl_ttl) is a
+    groupBy(url_key) over the frontier log; its scale contract says
+    the accelerated backstop restricts that aggregate to the maybe
+    keys, so the per-key max runs over the maybe keys' history only —
+    never O(frontier). Catalyst CANNOT do this itself: the expiry
+    Filter on top of the aggregate blocks PushDownLeftSemiAntiJoin
+    (asserted below as the negative control), so _seen_view hands the
+    accel helpers a callable that semi-joins the LOG below the
+    aggregate manually. Lock both facts: the restricted view's plan
+    has the Aggregate as the PARENT of the LeftSemi, and the naive
+    composition does not."""
+    from web_crawler_search_engine_spark.plans.crawl import (
+        CrawlConfig,
+        CrawlJob,
+    )
+    from web_crawler_search_engine_spark.sources.corpus import (
+        POLITENESS,
+        USER_AGENT,
+        corpus_df,
+        generate_world,
+        robots_src_df,
+    )
+    from pyspark.sql import functions as F
+
+    world = generate_world(n=20, hosts=2, seed=3, with_images=False)
+    cfg = CrawlConfig(
+        root_domains=world.root_domains,
+        user_agent=USER_AGENT,
+        politeness=POLITENESS,
+        recrawl_ttl=2,
+        salt_buckets=2,
+        host_buckets=2,
+    )
+    job = CrawlJob(
+        spark,
+        corpus_df(spark, world),
+        robots_src_df(spark, world),
+        cfg,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_ttl_plan")),
+    )
+    job.start(world.seeds)
+    job.run_round()
+    maybe = spark.range(5).select(F.xxhash64("id").alias("url_key"))
+
+    # the engine's actual shape: the restricted view from _seen_view
+    seen_view = job._seen_view()
+    assert callable(seen_view)
+    matched = seen_view(maybe).join(
+        F.broadcast(maybe), "url_key", "left_semi"
+    )
+    plan = matched._jdf.queryExecution().optimizedPlan().toString()
+    agg_at = plan.find("Aggregate")
+    assert agg_at != -1, plan
+    # a LeftSemi must appear BELOW the aggregate (the restriction);
+    # the helper's outer semi above it is redundant-but-harmless
+    assert plan.find("LeftSemi", agg_at) != -1, (
+        "restriction not below the TTL aggregate:\n" + plan
+    )
+    # results identical to the unrestricted view ∩ maybe
+    want = sorted(
+        r["url_key"]
+        for r in job._seen_keys()
+        .join(F.broadcast(maybe), "url_key", "left_semi")
+        .collect()
+    )
+    assert sorted(r["url_key"] for r in matched.collect()) == want
+
+    # negative control: the naive composition stays blocked by the
+    # expiry Filter — if Spark ever learns this pushdown, this fires
+    # and the manual restriction can be retired
+    naive = job._seen_keys().join(F.broadcast(maybe), "url_key", "left_semi")
+    np = naive._jdf.queryExecution().optimizedPlan().toString()
+    assert np.find("LeftSemi", np.find("Aggregate")) == -1, np

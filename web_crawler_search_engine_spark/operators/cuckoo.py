@@ -294,6 +294,11 @@ def anti_join_via_cuckoo(
     # persist the batch: the probe and the final anti-join are two
     # passes over it, and its upstream (scrape + dedup lineage in the
     # crawl) must run once per round (same contract as the Bloom twin)
+    # seen_keys: DataFrame, or callable restricted view (TTL — see
+    # seen.anti_join_via_bloom for the contract)
+    seen_of = (
+        seen_keys if callable(seen_keys) else (lambda restrict=None: seen_keys)
+    )
     batch = new_df.persist()
     probe_fn = maybe_seen_keys_cuckoo_counting if counting else maybe_seen_keys_cuckoo
     maybe = probe_fn(
@@ -304,10 +309,10 @@ def anti_join_via_cuckoo(
     if n_maybe == 0:
         return batch, handle
     if n_maybe > broadcast_limit:
-        out = batch.join(seen_keys.select(key_col), key_col, "left_anti")
+        out = batch.join(seen_of().select(key_col), key_col, "left_anti")
     else:
         matched = (
-            seen_keys.select(key_col)
+            seen_of(maybe).select(key_col)
             .join(F.broadcast(maybe), key_col, "left_semi")
             .distinct()
             .persist()

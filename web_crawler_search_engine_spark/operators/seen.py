@@ -287,6 +287,14 @@ def anti_join_via_bloom(
     broadcast then builds exactly once (during the single
     materialization), keeping the r3 serial-tax fix.
     """
+    # ``seen_keys`` may be a plain DataFrame or a callable
+    # ``restrict -> DataFrame`` (a RESTRICTED view — the crawl's TTL
+    # liveness aggregate applies the maybe set below its groupBy,
+    # plans/crawl._seen_view); the restriction is an optimization
+    # only, results are identical by construction
+    seen_of = (
+        seen_keys if callable(seen_keys) else (lambda restrict=None: seen_keys)
+    )
     batch = new_df.persist()
     maybe = maybe_seen_keys(
         batch.select(key_col), words, key_col, m_bits, k, delta_words
@@ -296,14 +304,14 @@ def anti_join_via_bloom(
     if n_maybe == 0:
         return batch, handle
     if n_maybe > broadcast_limit:
-        unseen = batch.join(seen_keys.select(key_col), key_col, "left_anti")
+        unseen = batch.join(seen_of().select(key_col), key_col, "left_anti")
     else:
         # persisted: the ledger semi scan runs ONCE — downstream
         # actions over `unseen` (seq-assign passes, round commit)
         # re-broadcast the tiny matched set from cache instead of
         # re-scanning the ledger per action
         matched = (
-            seen_keys.select(key_col)
+            seen_of(maybe).select(key_col)
             .join(F.broadcast(maybe), key_col, "left_semi")
             .distinct()
             .persist()

@@ -536,7 +536,25 @@ class CrawlJob:
             )
         self._ledger_version = v
 
-    def _seen_keys(self, probe_round: int | None = None) -> DataFrame:
+    def _seen_view(self):
+        """What the X1 accelerator paths probe against: the plain
+        DataFrame view (crawl-once), or — in TTL mode — a CALLABLE
+        ``restrict -> DataFrame`` that applies the maybe-set
+        restriction BELOW the liveness aggregate. Catalyst's
+        PushDownLeftSemiAntiJoin pushes a semi through Project and
+        Aggregate but NOT through the expiry Filter sitting on top of
+        the TTL aggregate (verified in tests/unit/test_plans.py), so
+        the manual pre-agg restriction is what keeps the backstop
+        O(maybe-matched rows), not O(frontier), per round."""
+        if self.config.recrawl_ttl is None:
+            return self._seen_keys()
+        return lambda restrict=None: self._seen_keys(restrict_to=restrict)
+
+    def _seen_keys(
+        self,
+        probe_round: int | None = None,
+        restrict_to: DataFrame | None = None,
+    ) -> DataFrame:
         """The seen set for this round's X1 joins. With the bucketed
         ledger on, rows are gated on the COMMITTED round: an append
         that landed without its manifest commit (crash window) is
@@ -549,13 +567,16 @@ class CrawlJob:
         or denial after the fetch is a later row and keeps the key
         seen; only-fetched-and-aged keys drop out and become
         re-admittable). One groupBy(url_key) over the status log — in
-        the accelerated paths this DataFrame is only ever consumed
-        behind a left-semi on url_key against the (small) maybe set,
-        and Catalyst pushes that semi-join BELOW the aggregate (join
-        key == grouping key), so the per-key max only runs over the
-        maybe keys' history, not O(frontier). ``probe_round`` defaults
-        to the round currently being built (self.round + 1); commit-
-        time accelerator rebuilds pass the NEXT probe round so the
+        the accelerated paths the view is built through
+        ``restrict_to`` (the accel maybe set, via _seen_view's
+        callable), which semi-joins the LOG below the aggregate, so
+        the per-key max only runs over the maybe keys' history, not
+        O(frontier). (Catalyst cannot do this pushdown itself: the
+        expiry Filter on top of the aggregate blocks
+        PushDownLeftSemiAntiJoin — plan-locked in
+        tests/unit/test_plans.py.) ``probe_round`` defaults to the
+        round currently being built (self.round + 1); commit-time
+        accelerator rebuilds pass the NEXT probe round so the
         published state already reflects the keys expiring at this
         commit's boundary. Survives latest-wins compaction: for an
         aged fetched key the fetch row IS the latest row, which is
@@ -565,10 +586,19 @@ class CrawlJob:
             cut = (
                 self.round + 1 if probe_round is None else probe_round
             ) - ttl
+            lg = self._log().select("url_key", "round", "status")
+            if restrict_to is not None:
+                # manual semi-pushdown below the aggregate (valid —
+                # a key's liveness depends only on its own rows); the
+                # caller guarantees the restriction set is broadcast-
+                # bounded (it is the accel maybe set)
+                lg = lg.join(
+                    F.broadcast(restrict_to.select("url_key")),
+                    "url_key",
+                    "left_semi",
+                )
             agg = (
-                self._log()
-                .select("url_key", "round", "status")
-                .groupBy("url_key")
+                lg.groupBy("url_key")
                 .agg(
                     F.max("round").alias("_mr"),
                     F.max(
@@ -1024,7 +1054,7 @@ class CrawlJob:
         # seen-set anti-join, Bloom-accelerated (X1/P8): the Bloom
         # pre-filter only skips definite-unseen keys; the exact
         # backstop remains authoritative (FP-safe). All JVM-side.
-        seen_keys = self._seen_keys()
+        seen_keys = self._seen_view()
         probe_handle = None  # DataFrame or seen_ops.ProbeHandle
         self._cuckoo_dirty = False
         if cfg.use_bloom and cfg.seen_accel == "cuckoo":
@@ -1056,7 +1086,8 @@ class CrawlJob:
                 persist_unseen=False,
             )
         else:
-            unseen = batch_unique.join(seen_keys, "url_key", "left_anti")
+            seen_df = seen_keys() if callable(seen_keys) else seen_keys
+            unseen = batch_unique.join(seen_df, "url_key", "left_anti")
             probe_handle = None
         if self._base is None:
             mx = self.frontier.agg(F.max("discovery_seq")).collect()[0][0]
