@@ -964,37 +964,43 @@ def bench_serve_rehearsal(spark: SparkSession, n_pages: int, cpus: int) -> dict:
     # config; the bulk bench modes keep theirs.
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus // 4, 2)))
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # restore the serving confs and release resident state even when a
+    # mid-loop assert / query error aborts the rehearsal — otherwise the
+    # tiny-shuffle + AQE-off serving config leaks into every later rep
+    # and bench mode in this JVM (ADVICE r4 low #4)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus // 4, 2)))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-    # deterministic 2-word queries off the same vocab stream the
-    # corpus used — every query has matching documents
-    n_q = int(os.environ.get("SPARK_GRAFT_SERVE_QUERIES", "32"))
-    queries = [
-        f"{vocab[(7 * i) % len(vocab)]} {vocab[(11 * i + 3) % len(vocab)]}"
-        for i in range(n_q + 1)
-    ]
-    t0 = time.monotonic()
-    cold_rows = search(
-        postings_r, docs_r, queries[0], k=5, buckets=buckets
-    ).collect()
-    cold_ms = (time.monotonic() - t0) * 1000.0
-    # serving-path equivalence spot check on the cold query
-    warm0 = search_rows(postings_r, docs_r, queries[0], k=5, buckets=buckets)
-    assert [r.asDict() for r in cold_rows] == warm0
-
-    lat_ms = []
-    for q in queries[1:]:
+        # deterministic 2-word queries off the same vocab stream the
+        # corpus used — every query has matching documents
+        n_q = int(os.environ.get("SPARK_GRAFT_SERVE_QUERIES", "32"))
+        queries = [
+            f"{vocab[(7 * i) % len(vocab)]} {vocab[(11 * i + 3) % len(vocab)]}"
+            for i in range(n_q + 1)
+        ]
         t0 = time.monotonic()
-        rows = search_rows(postings_r, docs_r, q, k=5, buckets=buckets)
-        lat_ms.append((time.monotonic() - t0) * 1000.0)
-        assert rows, q
-    lat_ms.sort()
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-    shutil.rmtree(tmp, ignore_errors=True)
-    postings_r.unpersist()
-    docs_r.unpersist()
+        cold_rows = search(
+            postings_r, docs_r, queries[0], k=5, buckets=buckets
+        ).collect()
+        cold_ms = (time.monotonic() - t0) * 1000.0
+        # serving-path equivalence spot check on the cold query
+        warm0 = search_rows(postings_r, docs_r, queries[0], k=5, buckets=buckets)
+        assert [r.asDict() for r in cold_rows] == warm0
+
+        lat_ms = []
+        for q in queries[1:]:
+            t0 = time.monotonic()
+            rows = search_rows(postings_r, docs_r, q, k=5, buckets=buckets)
+            lat_ms.append((time.monotonic() - t0) * 1000.0)
+            assert rows, q
+        lat_ms.sort()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        shutil.rmtree(tmp, ignore_errors=True)
+        postings_r.unpersist()
+        docs_r.unpersist()
     p = lambda q: lat_ms[min(int(q * len(lat_ms)), len(lat_ms) - 1)]  # noqa: E731
     return {
         "frontier_sched_sec": round(p(0.5) / 1000.0, 4),

@@ -55,17 +55,19 @@ def main() -> None:
     spark = b.getOrCreate()
 
     from web_crawler_search_engine_spark.plans.indexer import read_index
-    from web_crawler_search_engine_spark.plans.search import search, search_rows
+    from web_crawler_search_engine_spark.plans.search import (
+        latest_pages,
+        search,
+        search_rows,
+    )
     from web_crawler_search_engine_spark.sources.checkpoints import SnapshotStore
 
     postings, docs, buckets = read_index(spark, args.index)
     pages = None
     if args.pages:
-        pages = (
-            SnapshotStore(spark, args.pages)
-            .load_log("pages")
-            .select("url", "content")
-        )
+        # TTL re-crawl appends one pages row per re-fetch; keep only the
+        # latest round's content or the snippet join fans out duplicates.
+        pages = latest_pages(SnapshotStore(spark, args.pages).load_log("pages"))
     if args.serve:
         import time
 

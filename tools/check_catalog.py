@@ -65,8 +65,14 @@ def compare_query(spark, con, fn, sql: str | None, sf_dir: str) -> tuple[bool, s
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from web_crawler_search_engine_spark.session import get_spark
@@ -76,6 +82,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -83,9 +90,20 @@ def main() -> int:
             ok, detail = compare_query(spark, con, fn, oracles.get(name), sf_dir)
         except Exception as e:  # noqa: BLE001
             ok, detail = False, f"error: {str(e).splitlines()[0][:200]}"
-        print(f"{'ok  ' if ok else 'FAIL'} {name}: {detail}")
+        print(f"{'ok  ' if ok else 'FAIL'} {name}: {detail}", flush=True)
+        results[name] = {
+            "ok": ok,
+            "oracle": "hash" if oracles.get(name) else "rows_only",
+            "detail": detail,
+        }
         failures += 0 if ok else 1
     print(f"{failures} failures")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} rows)")
     return 1 if failures else 0
 
 

@@ -210,8 +210,8 @@ def cuckoo_count_updates(
     insertion contributes +1 at its canonical b1 site, every retire
     contributes -1 at the same site, so a pair's net count equals the
     number of LIVE keys stored there and never goes negative. Probe =
-    net count > 0 on either candidate site (see
-    maybe_seen_keys_cuckoo_counting). ``sign=-1`` emits the delete
+    net count > 0 at the b1 site only (see
+    maybe_seen_keys_cuckoo_counting — b2 is never written here). ``sign=-1`` emits the delete
     delta. Pre-aggregated per (bucket, fp), O(batch) rows."""
     fp, b1, _ = cuckoo_cols(F.col(key_col), m_buckets, fp_bits, portable)
     return (
@@ -242,18 +242,24 @@ def maybe_seen_keys_cuckoo_counting(
     portable: bool = False,
 ) -> DataFrame:
     """Counting-table twin of maybe_seen_keys_cuckoo: a key is MAYBE
-    iff some probed (bucket, fp) pair has net count > 0. No false
+    iff its probed (bucket, fp) pair has net count > 0. No false
     negatives for live keys: a live key's own +1 at b1 is in its
     pair's sum, and per-pair nets are never negative (every -1 retires
-    a matching +1), so its pair sums > 0. Shape: restrict the table to
+    a matching +1), so its pair sums > 0. Counting entries are ONLY
+    ever written at the canonical b1 site (cuckoo_count_updates and
+    the dirty rebuild both emit b1), so — unlike the set-form twin,
+    where relocation can park a fingerprint at b2 — probing b2 here
+    could never match a real entry: it would only double probe volume
+    and add a pure false-positive channel via chance b2 collisions
+    (ADVICE r4 low #3). Probe b1 only. Shape: restrict the table to
     the probed pairs (left-semi — the aggregation then runs over the
     matched sliver, not the O(filter) table), net per pair, semi back
     to keys."""
-    fp, b1, b2 = cuckoo_cols(F.col(key_col), m_buckets, fp_bits, portable)
+    fp, b1, _ = cuckoo_cols(F.col(key_col), m_buckets, fp_bits, portable)
     probes = batch_keys.select(
         F.col(key_col),
         fp.alias("fp"),
-        F.explode(F.array(b1, b2)).alias("bucket"),
+        b1.alias("bucket"),
     )
     probed_pairs = probes.select("bucket", "fp").distinct()
     live_pairs = compact_counting(

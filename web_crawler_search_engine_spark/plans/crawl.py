@@ -986,11 +986,17 @@ class CrawlJob:
         if cfg.fetch_mode == "http":
             from ..sources.httpfetch import http_fetch
 
+            # Live GETs are nondeterministic: persist() alone would let a
+            # cache eviction / executor loss recompute the lineage and
+            # re-issue requests, so two actions in the same round could
+            # observe different fetch outcomes. localCheckpoint(eager=True)
+            # materializes the batch NOW and severs lineage — a lost block
+            # fails the round loudly instead of silently diverging.
             fetched = http_fetch(
                 admitted,
                 timeout=cfg.fetch_timeout,
                 verify_tls=cfg.fetch_verify_tls,
-            ).persist()
+            ).localCheckpoint(eager=True)
         else:
             corpus = self.corpus.select(
                 F.col("url_key"),

@@ -88,6 +88,20 @@ def topk(
     )
 
 
+def latest_pages(pages_log: DataFrame) -> DataFrame:
+    """One ``(url, content)`` row per url from a pages log that may
+    hold several rounds' fetches of the same url (TTL re-crawl
+    appends one row per re-fetch — plans/crawl.py recrawl_ttl).
+    Latest round wins. Without this, the snippet join fans out
+    duplicate result rows and the dict build in search_rows picks an
+    arbitrary duplicate's snippet, so --serve and batch output
+    diverge on a TTL-crawled checkpoint (ADVICE r4 low #2). One
+    map-side-combined groupBy at pages-log volume."""
+    return pages_log.groupBy("url").agg(
+        F.max_by("content", "round").alias("content")
+    )
+
+
 def snippet_col(content: Column, tokens: list[str]) -> Column:
     """C10 context snippet (shared/webpage.py:55-65): normalize the
     <body> to its alnum words joined by single spaces, then for each
