@@ -956,6 +956,8 @@ def bench_serve_rehearsal(spark: SparkSession, n_pages: int, cpus: int) -> dict:
     docs_r.count()
     load_s = time.monotonic() - t0
 
+    from web_crawler_search_engine_spark.plans.search import ServingIndex
+
     # serving-session tuning (runtime-settable confs, restored after):
     # a top-5 query aggregates a few thousand postings rows — 64
     # shuffle partitions means 64 near-empty reduce tasks per query,
@@ -968,9 +970,16 @@ def bench_serve_rehearsal(spark: SparkSession, n_pages: int, cpus: int) -> dict:
     # mid-loop assert / query error aborts the rehearsal — otherwise the
     # tiny-shuffle + AQE-off serving config leaks into every later rep
     # and bench mode in this JVM (ADVICE r4 low #4)
+    idx = None
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus // 4, 2)))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # resident serving state: the covering ServingIndex (r5 —
+        # (url,title) denormalized into the postings cache at load,
+        # one job + one py4j call per warm query)
+        t0 = time.monotonic()
+        idx = ServingIndex(postings_r, docs_r, buckets=buckets)
+        load_s += time.monotonic() - t0
 
         # deterministic 2-word queries off the same vocab stream the
         # corpus used — every query has matching documents
@@ -984,14 +993,16 @@ def bench_serve_rehearsal(spark: SparkSession, n_pages: int, cpus: int) -> dict:
             postings_r, docs_r, queries[0], k=5, buckets=buckets
         ).collect()
         cold_ms = (time.monotonic() - t0) * 1000.0
-        # serving-path equivalence spot check on the cold query
+        # serving-path equivalence spot checks on the cold query:
+        # batch plan ≡ search_rows twin ≡ covering ServingIndex
         warm0 = search_rows(postings_r, docs_r, queries[0], k=5, buckets=buckets)
         assert [r.asDict() for r in cold_rows] == warm0
+        assert idx.query(queries[0], k=5) == warm0
 
         lat_ms = []
         for q in queries[1:]:
             t0 = time.monotonic()
-            rows = search_rows(postings_r, docs_r, q, k=5, buckets=buckets)
+            rows = idx.query(q, k=5)
             lat_ms.append((time.monotonic() - t0) * 1000.0)
             assert rows, q
         lat_ms.sort()
@@ -999,6 +1010,8 @@ def bench_serve_rehearsal(spark: SparkSession, n_pages: int, cpus: int) -> dict:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         shutil.rmtree(tmp, ignore_errors=True)
+        if idx is not None:
+            idx.close()
         postings_r.unpersist()
         docs_r.unpersist()
     p = lambda q: lat_ms[min(int(q * len(lat_ms)), len(lat_ms) - 1)]  # noqa: E731

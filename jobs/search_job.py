@@ -56,9 +56,9 @@ def main() -> None:
 
     from web_crawler_search_engine_spark.plans.indexer import read_index
     from web_crawler_search_engine_spark.plans.search import (
+        ServingIndex,
         latest_pages,
         search,
-        search_rows,
     )
     from web_crawler_search_engine_spark.sources.checkpoints import SnapshotStore
 
@@ -71,28 +71,22 @@ def main() -> None:
     if args.serve:
         import time
 
-        # resident state: materialize the index once; every query
-        # after this scans the cached, bucket-pruned postings only
-        postings = postings.persist()
-        docs = docs.persist()
-        postings.count()
-        docs.count()
-        if pages is not None:
-            pages = pages.persist()
-            pages.count()
+        # resident state (plans/search.ServingIndex): the COVERING
+        # postings cache — (url, title) denormalized in at load — is
+        # materialized once; every warm query after this is a single
+        # job (plus one snippet job when --pages is given)
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             str(max(spark.sparkContext.defaultParallelism // 4, 2)),
         )
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        idx = ServingIndex(postings, docs, buckets=buckets, pages=pages)
         queries = args.query or (q.strip() for q in sys.stdin)
         for q in queries:
             if not q:
                 continue
             t0 = time.monotonic()
-            out = search_rows(
-                postings, docs, q, k=args.k, pages=pages, buckets=buckets
-            )
+            out = idx.query(q, k=args.k)
             ms = (time.monotonic() - t0) * 1000.0
             print(
                 json.dumps(

@@ -79,12 +79,22 @@ def topk(
         postings = postings.filter(
             F.col("token_bucket").isin(token_buckets(tokens, buckets))
         )
+    # FIXED-POINT score sum (r5): posting scores are %.3f-rounded at
+    # index time (A8/C8), so each is an integer count of millis;
+    # summing the millis as longs is exact and associative, making
+    # the ranking BIT-STABLE under any physical layout — float sums
+    # flip near-ties when partitioning / cache layout / AQE changes
+    # the addition order (observed at 600k synthetic pages between
+    # the plain and covering serving layouts). The reported score is
+    # millis/1000.0, one deterministic double division.
+    millis = F.sum(F.round(F.col("score") * 1000).cast("long")).alias("millis")
     return (
         postings.filter(F.col("token").isin(tokens))
         .groupBy("doc_id")
-        .agg(F.sum("score").alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .agg(millis)
+        .orderBy(F.desc("millis"), F.asc("doc_id"))
         .limit(k)
+        .select("doc_id", (F.col("millis") / 1000.0).alias("score"))
     )
 
 
@@ -174,6 +184,187 @@ def search(
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+class ServingIndex:
+    """Resident warm-serving handle (r4 verdict item 3): load-time
+    layout + per-query path tuned for a long-lived search process
+    (jobs/search_job.py --serve, bench serve_rehearsal), the analog
+    of the reference's in-heap serving loop
+    (start_search_engine.py:14-27) — except the index stays
+    DISTRIBUTED, so it holds at 100 TB where the reference's dict
+    cannot.
+
+    Two structural latency cuts over search()/search_rows, both
+    measured by interleaved same-JVM A/B (tools/serve_ab.py):
+
+    * COVERING postings: ``(url, title)`` are denormalized into the
+      cached postings at load (one join, once), so the whole query
+      lifecycle — token filter, score sum, top-k, metadata — is ONE
+      job with no broadcast sub-job and no second driver action:
+      ``GROUP BY doc_id`` + ``any_value(url/title)`` (functionally
+      dependent on doc_id) + ``LIMIT k``. Memory cost ~40 bytes/
+      posting; the plain non-covering tables remain the batch path.
+    * ONE py4j call per query: the query is issued as a single
+      ``spark.sql`` string against a uniquely-named temp view —
+      building the same plan through the DataFrame API costs ~6
+      driver round-trips (~50 ms on a slow host) before Catalyst
+      even starts.
+
+    Tokens are alnum-only by construction (_WORD_RE) and quoted
+    defensively, so literal inlining is safe. Results are pinned
+    bit-for-bit to ``search`` by tests/e2e/test_crawl_chain.py for
+    hit / fallback-hit / miss queries, with and without snippets."""
+
+    def __init__(
+        self,
+        postings: DataFrame,
+        docs: DataFrame,
+        buckets: int | None = None,
+        pages: DataFrame | None = None,
+        covering: bool = True,
+    ):
+        import uuid
+
+        self._spark = postings.sparkSession
+        self.buckets = buckets
+        uid = uuid.uuid4().hex[:12]
+        self._pview = f"serve_postings_{uid}"
+        self._dview: str | None = None
+        if covering:
+            serve = postings.join(
+                docs.select("doc_id", "url", "title"), "doc_id"
+            )
+        else:
+            serve = postings
+            self._dview = f"serve_docs_{uid}"
+            docs.select("doc_id", "url", "title").persist().createOrReplaceTempView(
+                self._dview
+            )
+            self._spark.table(self._dview).count()
+        self.covering = covering
+        serve = serve.persist()
+        serve.createOrReplaceTempView(self._pview)
+        serve.count()  # materialize the resident cache now
+        self._serve = serve
+        self._pages = None
+        if pages is not None:
+            self._pages = pages.persist()
+            self._pages.count()
+
+    def _topk_sql(self, tokens: list[str], k: int) -> str:
+        esc = [t.replace("'", "''") for t in tokens]
+        tl = ",".join(f"'{t}'" for t in esc)
+        where = f"token IN ({tl})"
+        if self.buckets is not None:
+            bl = ",".join(str(b) for b in token_buckets(tokens, self.buckets))
+            where = f"token_bucket IN ({bl}) AND {where}"
+        # fixed-point millis sum — exact + associative, so the ranking
+        # is layout-independent and bit-equal to topk() (see there).
+        # The sum stays a BIGINT named millis through the SQL (SQL-side
+        # `/1000.0` would go decimal, and re-stating the sum expression
+        # in ORDER BY re-resolves `score` against the output alias);
+        # query() does the one double division driver-side — Python
+        # float division IS IEEE double division, identical to topk's.
+        msum = "sum(cast(round(score * 1000) AS bigint)) AS millis"
+        if self.covering:
+            return (
+                "SELECT doc_id, any_value(url) AS url, "
+                f"any_value(title) AS title, {msum} "
+                f"FROM {self._pview} WHERE {where} "
+                f"GROUP BY doc_id ORDER BY millis DESC, doc_id ASC LIMIT {k}"
+            )
+        return (
+            f"SELECT doc_id, {msum} FROM {self._pview} "
+            f"WHERE {where} "
+            f"GROUP BY doc_id ORDER BY millis DESC, doc_id ASC LIMIT {k}"
+        )
+
+    def query(self, query: str, k: int = 5) -> list[dict]:
+        """≡ [r.asDict() for r in search(...).collect()] — one job
+        per query (covering), plus one snippet job when pages are
+        loaded, plus the fallback re-query on empty results
+        (start_search_engine.py:38-43)."""
+        tokens = query_tokens(query)
+        if not tokens:
+            return []
+        rows = self._spark.sql(self._topk_sql(tokens, k)).collect()
+        if not rows:
+            tokens = fallback_tokens(query)
+            rows = self._spark.sql(self._topk_sql(tokens, k)).collect()
+        if not rows:
+            return []
+        if not self.covering:
+            ids = ",".join(str(r["doc_id"]) for r in rows)
+            meta = {
+                m["doc_id"]: m
+                for m in self._spark.sql(
+                    f"SELECT doc_id, url, title FROM {self._dview} "
+                    f"WHERE doc_id IN ({ids})"
+                ).collect()
+            }
+            out = [
+                {
+                    "doc_id": r["doc_id"],
+                    "url": meta[r["doc_id"]]["url"],
+                    "title": meta[r["doc_id"]]["title"],
+                    "score": r["millis"] / 1000.0,
+                }
+                for r in rows
+                if r["doc_id"] in meta
+            ]
+        else:
+            out = [
+                {
+                    "doc_id": r["doc_id"],
+                    "url": r["url"],
+                    "title": r["title"],
+                    "score": r["millis"] / 1000.0,
+                }
+                for r in rows
+            ]
+        if self._pages is not None:
+            ctx_rows = (
+                self._pages.filter(
+                    F.col("url").isin([o["url"] for o in out])
+                )
+                .select(
+                    "url",
+                    snippet_col(F.col("content"), tokens).alias("context"),
+                )
+                .collect()
+            )
+            ctx = {r["url"]: r["context"] for r in ctx_rows}
+            for o in out:
+                o["context"] = ctx.get(o["url"], "")
+        out.sort(key=lambda o: (-o["score"], o["doc_id"]))
+        return out
+
+    def close(self) -> None:
+        """Release resident state (cache blocks + temp views)."""
+        self._serve.unpersist()
+        self._spark.catalog.dropTempView(self._pview)
+        if self._dview is not None:
+            self._spark.table(self._dview).unpersist()
+            self._spark.catalog.dropTempView(self._dview)
+        if self._pages is not None:
+            self._pages.unpersist()
+
+
+def serving_table(docs: DataFrame, pages: DataFrame | None = None) -> DataFrame:
+    """Load-time prep for a RESIDENT serving process (search_job
+    --serve, bench serve_rehearsal): doc metadata — plus, when a
+    deduped ``(url, content)`` pages table is given, the page content
+    LEFT-joined in — as ONE table. Persist the result once; every
+    warm query against it is then a single fused job, snippets
+    included (r4 verdict item 3). The join runs once at load, at
+    docs-table volume; a doc with no pages row keeps a null content
+    → empty context downstream, matching ``search``."""
+    if pages is None:
+        return docs.select("doc_id", "url", "title")
+    return docs.join(pages, "url", "left").select(
+        "doc_id", "url", "title", "content"
+    )
+
+
 def search_rows(
     postings: DataFrame,
     docs: DataFrame,
@@ -187,34 +378,49 @@ def search_rows(
     many queries over one loaded index (jobs/search_job.py --serve,
     bench serve_rehearsal).
 
-    ``search`` pays two extra per-query costs that only matter at
-    point-query latency: a createDataFrame + broadcast-exchange to
-    join the ≤k hits into the docs table, and another for snippets.
-    Here the ≤k hit set stays DRIVER-side and the metadata/pages
-    lookups are plain isin-filtered scans (still pruned/cached,
-    still one job each, no exchange). Equivalence with ``search`` is
-    pinned by tests/unit/test_plans.py."""
+    ``search`` pays per-query costs that only matter at point-query
+    latency: a createDataFrame round-trip plus a SECOND driver action
+    for the metadata join (and a third for snippets). Here the whole
+    lifecycle is ONE fused plan per query — the ≤k top-k subplan is
+    broadcast INTO the docs scan (Catalyst materializes the broadcast
+    and runs the pruned metadata join inside a single collect, with
+    no Python round-trip or fresh-plan analysis between them). When
+    ``docs`` carries a ``content`` column (pre-joined at load via
+    ``serving_table``), the C10 snippet is projected in the SAME job;
+    a separate ``pages`` table falls back to one extra snippet job.
+    Equivalence with ``search`` is pinned by tests/e2e (hit,
+    fallback-hit, miss, and TTL-duplicate cases)."""
     tokens = query_tokens(query)
-    hits = topk(postings, tokens, k, buckets=buckets).collect()
-    if not hits:
-        tokens = fallback_tokens(query)
-        hits = topk(postings, tokens, k, buckets=buckets).collect()
-    if not hits:
-        return []
-    score = {r["doc_id"]: r["score"] for r in hits}
-    meta = (
-        docs.filter(F.col("doc_id").isin(list(score)))
-        .select("doc_id", "url", "title")
-        .collect()
-    )
+    with_content = pages is None and "content" in docs.columns
+
+    def run(toks: list[str]) -> list:
+        hits = topk(postings, toks, k, buckets=buckets)
+        fused = docs.join(F.broadcast(hits), "doc_id")
+        cols = ["doc_id", "url", "title", "score"]
+        if with_content:
+            ctx = snippet_col(F.col("content"), toks).alias("context")
+            return fused.select(*cols, ctx).collect()
+        return fused.select(*cols).collect()
+
+    rows = run(tokens)
+    if not rows:
+        # Empty fused output is ambiguous: no hits (→ fallback
+        # re-query, start_search_engine.py:38-43) vs. hits whose
+        # doc_id is missing from docs (inner-join semantics — then
+        # ``search`` returns empty WITHOUT falling back). Disambiguate
+        # with a 1-row probe; the extra job only runs on misses.
+        if not topk(postings, tokens, k, buckets=buckets).limit(1).collect():
+            tokens = fallback_tokens(query)
+            rows = run(tokens)
     out = [
         {
-            "doc_id": m["doc_id"],
-            "url": m["url"],
-            "title": m["title"],
-            "score": score[m["doc_id"]],
+            "doc_id": r["doc_id"],
+            "url": r["url"],
+            "title": r["title"],
+            "score": r["score"],
+            **({"context": r["context"]} if with_content else {}),
         }
-        for m in meta
+        for r in rows
     ]
     if pages is not None:
         ctx_rows = (
