@@ -1141,6 +1141,16 @@ _EMB_DUPES_SQL = """
 # PER band), candidates = union over bands of within-bucket pairs.
 _EMB_BANDS = 4
 _EMB_PLANES_PER_BAND = 16
+# Per-(band,bucket) occupancy cap (r4 verdict #4, mirroring
+# _SPAN_MAX_OCC): a band bucket holding more than this many vectors is
+# dropped from candidate generation entirely, hard-bounding every
+# self-join block at (cap choose 2) pairs. At 2¹⁶ buckets/band a
+# bucket only gets this hot when ≥cap vectors share a 16-plane
+# signature — i.e. (near-)identical embeddings, which are the EXACT
+# dedup path's job (hash-groupBy), not LSH's: pairwise edges inside
+# such a cluster are quadratic by definition. Non-degenerate members
+# keep their recall through their other bands.
+_EMB_BUCKET_CAP = 64
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1151,9 +1161,14 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     band, bucket) signature table — 2¹⁶ distinct buckets per band
     keeps every block tiny at scale — and embeddings join back only
     for the surviving distinct pairs, so the wide vector payload never
-    rides the self-join shuffle. Recall follows the standard banded
-    bound 1-(1-sᴾ)ᴮ (Broder/MMDS): more bands = more recall, same
-    per-band selectivity. The dot product is a JVM zip_with/aggregate
+    rides the self-join shuffle. Band buckets hotter than
+    _EMB_BUCKET_CAP are dropped before the self-join (see the cap's
+    comment: only degenerate near-identical clusters trigger it, and
+    those belong to the exact-dedup path), so candidate volume is
+    HARD-BOUNDED at buckets·(cap choose 2) even against adversarial
+    embeddings. Recall follows the standard banded bound 1-(1-sᴾ)ᴮ
+    (Broder/MMDS): more bands = more recall, same per-band
+    selectivity. The dot product is a JVM zip_with/aggregate
     — no Python, no UDF."""
     e = _emb_with_dupes(spark, sf_dir)
     sig = e.select(
@@ -1174,6 +1189,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("vec_id", "s.band", "s.bucket")
+    cool = (
+        sig.groupBy("band", "bucket")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") <= _EMB_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    sig = sig.join(cool, ["band", "bucket"], "left_semi")
     cand = (
         sig.alias("x")
         .join(
@@ -1201,7 +1223,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_EMB_COSINE = f"""
 WITH ee AS ({_EMB_DUPES_SQL}),
-sig AS ({_lsh_band_sig_sql('ee', _EMB_BANDS, _EMB_PLANES_PER_BAND)}),
+sig0 AS ({_lsh_band_sig_sql('ee', _EMB_BANDS, _EMB_PLANES_PER_BAND)}),
+cool AS (
+  SELECT band, bucket FROM sig0 GROUP BY band, bucket
+  HAVING count(*) <= {_EMB_BUCKET_CAP}),
+sig AS (
+  SELECT s.* FROM sig0 s JOIN cool c
+    ON s.band = c.band AND s.bucket = c.bucket),
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
   FROM sig x JOIN sig y
