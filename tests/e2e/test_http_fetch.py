@@ -168,3 +168,162 @@ def test_http_crawl_bitforbit_vs_corpus_crawl(
     assert pages.filter(F.col("content").contains("<html")).count() >= n_pages - 2
     # and the empty-body page produced NO pages row (empty→404)
     assert pages.filter(F.col("url") == empty_url).count() == 0
+
+
+@pytest.fixture(scope="module")
+def served_image_world(tmp_path_factory):
+    """A second fixture server for a WITH-images world: page HTML at
+    the URL path, the image blob at ``{path}.img`` (the documented
+    sidecar contract of sources/httpfetch._image_sidecar)."""
+    src = generate_world(n=30, hosts=1, seed=13, with_images=True)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    netloc = f"127.0.0.1:{port}"
+    world = _rewrite_world(src, netloc)
+    by_url = world.by_url()
+
+    certdir = tmp_path_factory.mktemp("tls_img")
+    crt, key = str(certdir / "srv.crt"), str(certdir / "srv.key")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", key, "-out", crt, "-days", "2",
+            "-subj", "/CN=127.0.0.1",
+        ],
+        check=True,
+        capture_output=True,
+    )
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            if self.path.endswith(".img"):
+                url = f"https://{netloc}{self.path[:-4]}"
+                row = by_url.get(url)
+                if row is None or row["bytes"] is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                body = bytes(row["bytes"])
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            url = f"https://{netloc}{self.path}"
+            row = by_url.get(url)
+            if row is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = row["content"].encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(crt, key)
+    httpd.socket = ctx.wrap_socket(httpd.socket, server_side=True)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield world
+    httpd.shutdown()
+
+
+def test_http_image_sidecar_parity_and_u7(
+    spark, served_image_world, tmp_path_factory
+):
+    """r4 verdict #6: with CrawlConfig.fetch_images the http crawl's
+    pages rows carry a REAL image sidecar — fetched bytes, sniffed
+    fmt, decoded dims, recomputed phash, extracted caption — equal to
+    the corpus-join crawl's sidecar on the same graph, and passing
+    the U7 per-row invariants (decode ok, dims ok, phash match,
+    requant PSNR ≥ 40 dB for the lossy format)."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_search_engine_spark.images.udfs import decode_verify
+
+    world = served_image_world
+    cfg_kw = dict(
+        root_domains=world.root_domains,
+        user_agent=USER_AGENT,
+        politeness=POLITENESS,
+        round_duration=T,
+        salt_buckets=4,
+        host_buckets=4,
+        fetch_verify_tls=False,
+    )
+    cfg_http = CrawlConfig(fetch_mode="http", fetch_images=True, **cfg_kw)
+    job_http = CrawlJob(
+        spark,
+        None,
+        robots_src_df(spark, world),
+        cfg_http,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_http_img")),
+    )
+    job_http.start(world.seeds)
+    job_http.run(max_rounds=40)
+
+    cfg_corp = CrawlConfig(fetch_mode="corpus", **cfg_kw)
+    job_corp = CrawlJob(
+        spark,
+        corpus_df(spark, world),
+        robots_src_df(spark, world),
+        cfg_corp,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_corp_img")),
+    )
+    job_corp.start(world.seeds)
+    job_corp.run(max_rounds=40)
+
+    assert job_http.admitted_sequences() == job_corp.admitted_sequences()
+    assert job_http.final_state() == job_corp.final_state()
+
+    side_cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    hp = {
+        r["url"]: r
+        for r in job_http.pages().select("url", "content", *side_cols).collect()
+    }
+    cp = {
+        r["url"]: r
+        for r in job_corp.pages().select("url", "content", *side_cols).collect()
+    }
+    assert hp.keys() == cp.keys() and hp
+    checked_caption = 0
+    for url, h in hp.items():
+        c = cp[url]
+        assert bytes(h["bytes"]) == bytes(c["bytes"]), url
+        for col in ("image_id", "w", "h", "fmt", "phash"):
+            assert h[col] == c[col], (url, col)
+        # caption extraction needs the page to render one (<p>);
+        # the world's planted tiny/non-HTML pages have none
+        if "<p>" in (c["content"] or ""):
+            assert h["caption"] == c["caption"], url
+            checked_caption += 1
+    assert checked_caption > 0
+
+    # U7 invariants on the http-fetched rows themselves
+    v = (
+        job_http.pages()
+        .select(
+            "url",
+            "fmt",
+            decode_verify(
+                F.col("bytes"), F.col("fmt"), F.col("w"), F.col("h"), F.col("phash")
+            ).alias("v"),
+        )
+        .select("url", "fmt", "v.*")
+        .collect()
+    )
+    assert v
+    for r in v:
+        assert r["decode_ok"] and r["dims_ok"] and r["phash_match"], r["url"]
+        if r["fmt"] != "png":
+            assert r["requant_psnr"] >= 40.0, (r["url"], r["requant_psnr"])

@@ -150,6 +150,11 @@ class CrawlConfig:
     # (the reference's normalize rewrites http://), so self-signed
     # endpoints (and the e2e fixture server) need verify off
     fetch_verify_tls: bool = True
+    # http mode only: also fetch each page's image sidecar
+    # ({url}.img), sniff/decode/phash it from the real bytes, and
+    # carry it through the pages sink exactly like the corpus join
+    # does (sources/httpfetch._image_sidecar — r4 verdict #6)
+    fetch_images: bool = False
     compact_every: int = 8
     # above this many distinct parents per round, discovery_seq
     # assignment switches from the driver prefix-sum to the fully
@@ -996,6 +1001,7 @@ class CrawlJob:
                 admitted,
                 timeout=cfg.fetch_timeout,
                 verify_tls=cfg.fetch_verify_tls,
+                fetch_images=cfg.fetch_images,
             ).localCheckpoint(eager=True)
         else:
             corpus = self.corpus.select(

@@ -18,12 +18,15 @@ runs where the admitted partition lives, which on a cluster spreads
 the network fan-out across executors.
 
 Output schema matches the corpus-join fetch step exactly (content +
-the image sidecar columns, null in http mode — a live deployment
-decodes image payloads in the indexer's media path), so every
-downstream stage (pages sink, scrape, token stats, metrics) is
-identical between modes. Tested end-to-end against a local fixture
-HTTP server serving a synthetic world: the http crawl is bit-for-bit
-the corpus crawl on the same graph
+the image sidecar columns). With CrawlConfig.fetch_images the sidecar
+is REAL in http mode too: the blob is fetched from ``{url}.img``,
+format sniffed from magic bytes, dims + phash recomputed from the
+decoded pixels (images/codec — the U7 path), caption extracted from
+the page — so every downstream stage (pages sink, phash dedup,
+caption carry) is identical between modes; without it the sidecar
+columns are null. Tested end-to-end against a local fixture HTTP
+server serving a synthetic world: the http crawl is bit-for-bit the
+corpus crawl on the same graph, including the image sidecar
 (tests/e2e/test_http_fetch.py).
 """
 
@@ -56,7 +59,7 @@ _FETCH_COLS = [
 ]
 
 
-def _get(url: str, timeout: float, verify_tls: bool = True) -> str | None:
+def _get_raw(url: str, timeout: float, verify_tls: bool = True) -> bytes | None:
     """One GET with the reference's semantics: non-2xx, error, or an
     EMPTY body all read as 'nothing fetched' (download.py's
     empty→404 synthesis). Stdlib-only — requests is not in the
@@ -81,7 +84,63 @@ def _get(url: str, timeout: float, verify_tls: bool = True) -> str | None:
         return None
     if not body:
         return None
+    return body
+
+
+def _get(url: str, timeout: float, verify_tls: bool = True) -> str | None:
+    body = _get_raw(url, timeout, verify_tls)
+    if body is None:
+        return None
     return body.decode("utf-8", errors="replace")
+
+
+def _sniff_fmt(blob: bytes) -> str | None:
+    """Magic-byte format sniff — a live fetch has no corpus fmt
+    column. PNG: the 8-byte signature (RFC 2083 §3.1); JPEG: SOI +
+    marker prefix (ITU-T T.81 B.1.1.3)."""
+    if blob.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if blob.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    return None
+
+
+def _image_sidecar(url: str, content: str, timeout: float, verify_tls: bool):
+    """Fetch + decode the page's image sidecar (r4 verdict #6).
+
+    Deployment contract (documented, fixture-exercised): the blob
+    lives at ``{url}.img``; the caption is the page's first ``<p>``
+    (where the corpus world renders it); the image id is the URL path
+    basename. fmt is sniffed from magic bytes, dims come from the
+    DECODED pixel array, and phash is recomputed from those pixels
+    (images/codec.phash64) — so every sidecar field on an http-fetched
+    row is derived from real fetched bytes, never trusted metadata.
+    Returns the _FETCH_COLS[1:] tuple (image_id, bytes, w, h, fmt,
+    caption, phash), all-None when the page has no sidecar."""
+    import re
+    from urllib.parse import urlparse
+
+    none = (None, None, None, None, None, None, None)
+    if content is None:
+        return none
+    blob = _get_raw(url + ".img", timeout, verify_tls)
+    if blob is None:
+        return none
+    fmt = _sniff_fmt(blob)
+    if fmt is None:
+        return none
+    from ..images import codec
+
+    try:
+        rgb = codec.decode(blob, fmt)
+    except Exception:  # noqa: BLE001 — truncated/corrupt blob
+        return none
+    h, w = int(rgb.shape[0]), int(rgb.shape[1])
+    phash = int(codec.phash64(rgb))
+    m = re.search(r"<p>(.*?)</p>", content, re.S)
+    caption = m.group(1) if m else None
+    image_id = urlparse(url).path.rsplit("/", 1)[-1] or None
+    return (image_id, bytearray(blob), w, h, fmt, caption, phash)
 
 
 def http_fetch(
@@ -89,9 +148,14 @@ def http_fetch(
     timeout: float = 5.0,
     pool: int = 8,
     verify_tls: bool = True,
+    fetch_images: bool = False,
 ) -> DataFrame:
     """admitted rows -> fetched rows (admitted cols + _FETCH_COLS),
-    the drop-in replacement for the corpus join."""
+    the drop-in replacement for the corpus join. With
+    ``fetch_images`` (CrawlConfig.fetch_images) each fetched page's
+    image sidecar is fetched, decoded, and phashed in the same Arrow
+    batch (see _image_sidecar); otherwise the sidecar columns are
+    null as before."""
     out_schema = StructType(list(admitted.schema.fields) + _FETCH_COLS)
     in_cols = [f.name for f in admitted.schema.fields]
 
@@ -99,17 +163,28 @@ def http_fetch(
         from concurrent.futures import ThreadPoolExecutor
 
         for pdf in batches:
+            urls = pdf["url"].tolist()
             with ThreadPoolExecutor(max_workers=pool) as ex:
                 contents = list(
-                    ex.map(
-                        lambda u: _get(u, timeout, verify_tls),
-                        pdf["url"].tolist(),
-                    )
+                    ex.map(lambda u: _get(u, timeout, verify_tls), urls)
                 )
+                if fetch_images:
+                    sidecars = list(
+                        ex.map(
+                            lambda uc: _image_sidecar(
+                                uc[0], uc[1], timeout, verify_tls
+                            ),
+                            zip(urls, contents),
+                        )
+                    )
             pdf = pdf[in_cols].copy()
             pdf["content"] = contents
-            for f in _FETCH_COLS[1:]:
-                pdf[f.name] = None
+            if fetch_images:
+                for i, f in enumerate(_FETCH_COLS[1:]):
+                    pdf[f.name] = [s[i] for s in sidecars]
+            else:
+                for f in _FETCH_COLS[1:]:
+                    pdf[f.name] = None
             yield pdf
 
     return admitted.mapInPandas(fetch_batches, schema=out_schema)
