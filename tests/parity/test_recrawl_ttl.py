@@ -159,14 +159,58 @@ def test_ttl_resume_mid_crawl_identical(
     assert b.final_state() == ttl_engine_run.final_state()
 
 
+def test_ttl_bucketed_ledger_identical_and_resumable(
+    spark, world, tmp_path_factory, ttl_engine_run
+):
+    """TTL × bucketed ledger (r4 verdict #5): with seen_ledger_buckets
+    on, the seen set lives in a bucketed STATUS ledger (url_key,
+    round, is_fetch) whose liveness aggregate runs over the bucketed
+    scan — output must be bit-for-bit the log-backed TTL run's,
+    including through a kill + resume (the ledger's compact form —
+    expired keys physically dropped — must reconstruct the same
+    liveness for every later probe round)."""
+    tmp = tmp_path_factory.mktemp("ckpt_ttl_lg")
+    a = _make_job(
+        spark, world, tmp, seen_ledger_buckets=8, compact_every=4
+    )
+    a.start(world.seeds)
+    for _ in range(6):
+        a.run_round()
+    b = _make_job(
+        spark, world, tmp, seen_ledger_buckets=8, compact_every=4
+    )
+    assert b.resume() == 6
+    b.run(max_rounds=ROUNDS - 6)
+    assert b.admitted_sequences() == ttl_engine_run.admitted_sequences()
+    assert b.final_state() == ttl_engine_run.final_state()
+
+
+def test_ttl_ledger_liveness_plan_has_no_ledger_exchange(
+    spark, world, tmp_path_factory
+):
+    """Scale shape of the TTL cutover: the liveness aggregate over
+    the bucketed status ledger must plan WITHOUT an Exchange below
+    the aggregate (the bucketed scan already satisfies the groupBy's
+    HashPartitioning), so a cutover anti-join shuffles only the
+    batch side — O(batch) movement at any frontier size."""
+    job = _make_job(
+        spark,
+        world,
+        tmp_path_factory.mktemp("ckpt_ttl_plan"),
+        seen_ledger_buckets=8,
+    )
+    job.start(world.seeds)
+    job.run_round()
+    seen = job._seen_keys()
+    plan = seen._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    # zero Exchanges in the whole liveness subtree: the scan is
+    # bucketed on url_key and filter/project preserve partitioning
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+
+
 def test_ttl_config_validation(spark, world, tmp_path_factory):
-    with pytest.raises(ValueError):
-        _make_job(
-            spark,
-            world,
-            tmp_path_factory.mktemp("ckpt_ttl_bad"),
-            seen_ledger_buckets=8,
-        )
     with pytest.raises(ValueError):
         cfg = CrawlConfig(
             root_domains=world.root_domains, recrawl_ttl=0

@@ -42,6 +42,18 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--driver-mem", default="16g")
+    ap.add_argument(
+        "--ttl",
+        action="store_true",
+        help="measure the TTL cutover shape instead (r4 verdict #5): "
+        "the ledger holds STATUS rows (url_key, round, is_fetch) and "
+        "the anti-join's RHS is the TTL liveness view "
+        "Filter(Agg(ledger)) — bucketed, the aggregate runs with no "
+        "Exchange and the join shuffles only the batch (O(batch)); "
+        "plain parquet, both the aggregate and the join shuffle "
+        "O(frontier).",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,15 +74,36 @@ def main() -> None:
             "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
         )
         .config("spark.sql.warehouse.dir", tmp + "/wh")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", args.driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
 
-    keys = spark.range(0, args.n).select(
-        F.xxhash64("id").alias("url_key"), F.lit(0).alias("round")
-    )
+    if args.ttl:
+        # TTL status ledger: every key discovered (is_fetch=false,
+        # round 0); 1/3 of keys also fetched at a round spread over
+        # [1, 8] — liveness at probe round 10 with ttl 4 expires the
+        # old-fetch tail, so the aggregate+filter actually selects
+        keys = spark.range(0, args.n).select(
+            F.xxhash64("id").alias("url_key"),
+            F.lit(0).cast("int").alias("round"),
+            F.lit(False).alias("is_fetch"),
+        )
+        fetches = (
+            spark.range(0, args.n)
+            .filter(F.col("id") % 3 == 0)
+            .select(
+                F.xxhash64("id").alias("url_key"),
+                (F.pmod(F.col("id"), F.lit(8)) + 1).cast("int").alias("round"),
+                F.lit(True).alias("is_fetch"),
+            )
+        )
+        keys = keys.unionByName(fetches)
+    else:
+        keys = spark.range(0, args.n).select(
+            F.xxhash64("id").alias("url_key"), F.lit(0).alias("round")
+        )
     plain_path = tmp + "/plain"
     keys.repartition(args.buckets, "url_key").write.parquet(plain_path)
     write_bucketed_ledger(
@@ -84,8 +117,30 @@ def main() -> None:
     )
     batch.count()
 
-    plain = spark.read.parquet(plain_path).select("url_key")
-    bucketed = spark.table("t_ledger_bench").select("url_key")
+    plain = spark.read.parquet(plain_path)
+    bucketed = spark.table("t_ledger_bench")
+    if args.ttl:
+        # the engine's TTL liveness view (plans/crawl.py _seen_keys):
+        # expired iff latest row is a fetch older than the cut
+        cut = 10 - 4
+
+        def liveness(src):
+            agg = src.groupBy("url_key").agg(
+                F.max("round").alias("_mr"),
+                F.max(F.when(F.col("is_fetch"), F.col("round"))).alias("_fr"),
+            )
+            expired = (
+                F.col("_fr").isNotNull()
+                & (F.col("_mr") == F.col("_fr"))
+                & (F.col("_fr") < F.lit(cut))
+            )
+            return agg.filter(~expired).select("url_key")
+
+        plain = liveness(plain)
+        bucketed = liveness(bucketed)
+    else:
+        plain = plain.select("url_key")
+        bucketed = bucketed.select("url_key")
 
     def run(ledger) -> float:
         t0 = time.monotonic()
@@ -104,7 +159,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "cutover_anti_join_sec",
+                "metric": (
+                    "ttl_cutover_anti_join_sec"
+                    if args.ttl
+                    else "cutover_anti_join_sec"
+                ),
                 "n_ledger": args.n,
                 "n_batch": args.batch,
                 "cpus": args.cpus,

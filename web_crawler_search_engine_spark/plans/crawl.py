@@ -254,14 +254,13 @@ class CrawlJob:
         if config.recrawl_ttl is not None:
             if config.recrawl_ttl < 1:
                 raise ValueError("recrawl_ttl must be >= 1 round")
-            if config.seen_ledger_buckets:
-                # the bucketed ledger stores bare (url_key, round)
-                # rows — no status, so it cannot express the TTL
-                # liveness predicate; the TTL seen view reads the
-                # frontier log directly instead
-                raise ValueError(
-                    "recrawl_ttl is not supported with seen_ledger_buckets"
-                )
+            # recrawl_ttl composes with seen_ledger_buckets (r5): the
+            # ledger then stores STATUS rows (url_key, round,
+            # is_fetch) instead of bare keys — the TTL liveness
+            # aggregate (max round / max fetch round per key) runs
+            # over the BUCKETED scan with no Exchange, so the cutover
+            # anti-join stays O(batch) movement at any frontier size
+            # (see _seen_keys and tools/ledger_bench.py --ttl).
         ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="crawl_ckpt_")
         self.store = SnapshotStore(spark, ckpt)
         if corpus is None and config.fetch_mode != "http":
@@ -494,21 +493,84 @@ class CrawlJob:
     def _ledger_path(self, version: int) -> str:
         return str(Path(self.store.root) / "seen_ledger" / f"v{version}")
 
+    def _ledger_ttl(self) -> bool:
+        """Whether the ledger runs in TTL STATUS-row form."""
+        return self.config.recrawl_ttl is not None
+
+    def _ledger_schema(self) -> str:
+        return (
+            "url_key BIGINT, round INT, is_fetch BOOLEAN"
+            if self._ledger_ttl()
+            else "url_key BIGINT, round INT"
+        )
+
+    def _ttl_ledger_compact_rows(self, probe_round: int) -> DataFrame:
+        """The TTL status ledger's compact form, computed from the
+        authoritative frontier log: per LIVE key (not expired at
+        ``probe_round``) at most two rows — (key, max_fetch_round,
+        true) and, when the key has later non-fetch history (or was
+        never fetched), (key, max_round, false). Future liveness
+        aggregates reconstruct (max round, max fetch round) from
+        these exactly; keys already expired at ``probe_round`` are
+        DROPPED — expiry is monotone in the probe round (the cut only
+        grows and _mr==_fr is frozen until new rows arrive), so an
+        expired key can never flip back, and this is where expired
+        keys physically leave ledger storage (the same claim the
+        counting cuckoo makes at its compaction)."""
+        cut = probe_round - self.config.recrawl_ttl
+        agg = (
+            self._log()
+            .select(
+                "url_key",
+                "round",
+                (F.col("status") == "fetched").alias("is_fetch"),
+            )
+            .groupBy("url_key")
+            .agg(
+                F.max("round").alias("_mr"),
+                F.max(F.when(F.col("is_fetch"), F.col("round"))).alias("_fr"),
+            )
+        )
+        expired = (
+            F.col("_fr").isNotNull()
+            & (F.col("_mr") == F.col("_fr"))
+            & (F.col("_fr") < F.lit(cut))
+        )
+        live = agg.filter(~expired)
+        fetches = live.filter(F.col("_fr").isNotNull()).select(
+            "url_key",
+            F.col("_fr").cast("int").alias("round"),
+            F.lit(True).alias("is_fetch"),
+        )
+        others = live.filter(
+            F.col("_fr").isNull() | (F.col("_mr") > F.col("_fr"))
+        ).select(
+            "url_key",
+            F.col("_mr").cast("int").alias("round"),
+            F.lit(False).alias("is_fetch"),
+        )
+        return fetches.unionByName(others)
+
     def _ensure_ledger(self) -> None:
         """Attach (resume) or seed the bucketed ledger table.
 
         The active version is whatever the committed manifest meta
         says; the catalog entry is metadata-only and rebuilt per
         session (on a cluster the metastore/Iceberg catalog persists
-        it instead). A checkpoint that predates the mode is seeded
-        from the authoritative frontier log — O(frontier) once, same
-        cost class as the Bloom from-ledger rebuild."""
+        it instead). A checkpoint that predates the mode — or whose
+        ledger was written in the other (TTL vs bare-key) row form —
+        is seeded from the authoritative frontier log as a FRESH
+        version — O(frontier) once, same cost class as the Bloom
+        from-ledger rebuild."""
         if self._ledger_version is not None:
             return
         meta = (self.store.manifest() or {}).get("meta", {}).get(
             "seen_ledger", {}
         )
-        v = meta.get("version")
+        prev = meta.get("version")
+        v = prev
+        if v is not None and meta.get("ttl", False) != self._ledger_ttl():
+            v = None  # other row form on disk: reseed a fresh version
         # appends MUST use the bucket count the live version was
         # WRITTEN with (a mismatched bucketBy spec is a write error);
         # a changed config takes effect at the next compaction, which
@@ -517,18 +579,21 @@ class CrawlJob:
             "buckets", self.config.seen_ledger_buckets
         )
         if v is None:
-            v = 0
+            v = 0 if prev is None else prev + 1
             self._ledger_buckets = self.config.seen_ledger_buckets
-            keys = (
-                self._log()
-                .select("url_key")
-                .distinct()
-                .withColumn("round", F.lit(self.round).cast("int"))
-            )
+            if self._ledger_ttl():
+                keys = self._ttl_ledger_compact_rows(self.round + 1)
+            else:
+                keys = (
+                    self._log()
+                    .select("url_key")
+                    .distinct()
+                    .withColumn("round", F.lit(self.round).cast("int"))
+                )
             write_bucketed_ledger(
                 keys,
-                self._ledger_table(0),
-                self._ledger_path(0),
+                self._ledger_table(v),
+                self._ledger_path(v),
                 buckets=self._ledger_buckets,
                 mode="overwrite",
             )
@@ -538,6 +603,7 @@ class CrawlJob:
                 self._ledger_table(v),
                 self._ledger_path(v),
                 buckets=self._ledger_buckets,
+                schema=self._ledger_schema(),
             )
         self._ledger_version = v
 
@@ -591,7 +657,28 @@ class CrawlJob:
             cut = (
                 self.round + 1 if probe_round is None else probe_round
             ) - ttl
-            lg = self._log().select("url_key", "round", "status")
+            if self.config.seen_ledger_buckets:
+                # TTL × bucketed ledger (r5): the status ledger's
+                # bucketed scan satisfies the groupBy's required
+                # HashPartitioning(url_key), so the liveness
+                # aggregate runs with NO Exchange and the downstream
+                # anti/semi join shuffles only the batch side —
+                # O(batch) movement at any frontier size (plan-locked
+                # in tests/unit/test_bucketed_ledger.py)
+                self._ensure_ledger()
+                lg = (
+                    self.spark.table(
+                        self._ledger_table(self._ledger_version)
+                    )
+                    .where(F.col("round") <= F.lit(self.round))
+                    .select("url_key", "round", "is_fetch")
+                )
+            else:
+                lg = self._log().select(
+                    "url_key",
+                    "round",
+                    (F.col("status") == "fetched").alias("is_fetch"),
+                )
             if restrict_to is not None:
                 # manual semi-pushdown below the aggregate (valid —
                 # a key's liveness depends only on its own rows); the
@@ -602,14 +689,11 @@ class CrawlJob:
                     "url_key",
                     "left_semi",
                 )
-            agg = (
-                lg.groupBy("url_key")
-                .agg(
-                    F.max("round").alias("_mr"),
-                    F.max(
-                        F.when(F.col("status") == "fetched", F.col("round"))
-                    ).alias("_fr"),
-                )
+            agg = lg.groupBy("url_key").agg(
+                F.max("round").alias("_mr"),
+                F.max(F.when(F.col("is_fetch"), F.col("round"))).alias(
+                    "_fr"
+                ),
             )
             expired = (
                 F.col("_fr").isNotNull()
@@ -704,10 +788,13 @@ class CrawlJob:
             # seed version 0 BEFORE the commit that publishes it: the
             # round gate makes a crash in between invisible (rows are
             # only readable once the manifest says round >= 0)
+            seed = frontier.select(
+                "url_key", F.lit(0).cast("int").alias("round")
+            )
+            if self._ledger_ttl():
+                seed = seed.withColumn("is_fetch", F.lit(False))
             write_bucketed_ledger(
-                frontier.select(
-                    "url_key", F.lit(0).cast("int").alias("round")
-                ),
+                seed,
                 self._ledger_table(0),
                 self._ledger_path(0),
                 buckets=self.config.seen_ledger_buckets,
@@ -719,6 +806,7 @@ class CrawlJob:
                 "seen_ledger": {
                     "version": 0,
                     "buckets": self.config.seen_ledger_buckets,
+                    "ttl": self._ledger_ttl(),
                 }
             }
         empty_host_meta = self.spark.createDataFrame(
@@ -1419,16 +1507,33 @@ class CrawlJob:
                     cfg.bloom_k,
                 )
 
-        if cfg.seen_ledger_buckets and n_new > 0:
+        if cfg.seen_ledger_buckets and (
+            n_new > 0 or self._ledger_ttl()
+        ):
             # append this round's keys BEFORE the manifest commit:
             # rows tagged round=r stay invisible to _seen_keys() (and
             # to any re-run after a crash here) until the commit below
-            # publishes round r. This reads new_links off the seq
-            # cache — one file per touched bucket, O(delta) written.
-            append_ledger_delta(
-                new_links.select(
+            # publishes round r — one file per touched bucket,
+            # O(delta) written. TTL mode appends the round's WHOLE
+            # frontier-log delta as status rows (fetch rows move the
+            # TTL clock; denial rows carry their DISCOVERY round and
+            # merely duplicate the already-committed pending row in
+            # the max-aggregates, so their early visibility in a
+            # crash window is harmless); bare-key mode appends only
+            # the new discoveries, as before.
+            self._ensure_ledger()
+            if self._ledger_ttl():
+                delta = log_delta.select(
+                    "url_key",
+                    F.col("round").cast("int").alias("round"),
+                    (F.col("status") == "fetched").alias("is_fetch"),
+                )
+            else:
+                delta = new_links.select(
                     "url_key", F.lit(r).cast("int").alias("round")
-                ),
+                )
+            append_ledger_delta(
+                delta,
                 self._ledger_table(self._ledger_version),
                 self._ledger_path(self._ledger_version),
                 buckets=self._ledger_buckets,
@@ -1447,6 +1552,7 @@ class CrawlJob:
                 "seen_ledger": {
                     "version": self._ledger_version,
                     "buckets": self._ledger_buckets,
+                    "ttl": self._ledger_ttl(),
                 }
             }
         self.round = r
@@ -1638,17 +1744,30 @@ class CrawlJob:
             # compaction re-buckets into the CURRENT config (a changed
             # seen_ledger_buckets takes effect here, never mid-version)
             buckets = self.config.seen_ledger_buckets
+            if self._ledger_ttl():
+                # TTL compact form at the NEXT probe round (same
+                # convention as the commit-time accel rebuilds):
+                # keys already expired at r+1 leave storage here
+                compact_rows = self._ttl_ledger_compact_rows(r + 1)
+            else:
+                compact_rows = (
+                    self._seen_keys()
+                    .distinct()
+                    .withColumn("round", F.lit(r).cast("int"))
+                )
             write_bucketed_ledger(
-                self._seen_keys()
-                .distinct()
-                .withColumn("round", F.lit(r).cast("int")),
+                compact_rows,
                 self._ledger_table(nv),
                 self._ledger_path(nv),
                 buckets=buckets,
                 mode="overwrite",
             )
             ledger_meta = {
-                "seen_ledger": {"version": nv, "buckets": buckets}
+                "seen_ledger": {
+                    "version": nv,
+                    "buckets": buckets,
+                    "ttl": self._ledger_ttl(),
+                }
             }
         self.store.commit(
             r,
