@@ -1037,9 +1037,16 @@ def bench_serve_rehearsal(spark: SparkSession, n_pages: int, cpus: int) -> dict:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         # resident serving state: the covering ServingIndex (r5 —
         # (url,title) denormalized into the postings cache at load,
-        # one job + one py4j call per warm query)
+        # one job + one py4j call per warm query).
+        # SPARK_GRAFT_SERVE_LAYOUT=disk measures the at-scale layout
+        # (token-sorted bucket-partitioned parquet, row-group skip).
         t0 = time.monotonic()
-        idx = ServingIndex(postings_r, docs_r, buckets=buckets)
+        idx = ServingIndex(
+            postings_r,
+            docs_r,
+            buckets=buckets,
+            layout=os.environ.get("SPARK_GRAFT_SERVE_LAYOUT", "memory"),
+        )
         load_s += time.monotonic() - t0
 
         # deterministic 2-word queries off the same vocab stream the

@@ -238,3 +238,38 @@ def test_written_index_partition_pruned_search(
             pruned.explain("formatted")
         plan = buf.getvalue()
         assert "PartitionFilters" in plan and "token_bucket" in plan, plan
+
+
+def test_serving_index_disk_layout_identical(
+    spark, engine_index, tmp_path_factory
+):
+    """r5: ServingIndex(layout="disk") — the covering serving table
+    written once as token-sorted, bucket-partitioned parquet (the
+    at-scale serving shape, BENCH/BASELINE.md §r5) — must answer
+    every query identically to the memory-cached layout and to the
+    batch search() plan."""
+    from web_crawler_search_engine_spark.plans.indexer import (
+        read_index,
+        write_index,
+    )
+
+    docs_df, postings_df, _ = engine_index
+    path = str(tmp_path_factory.mktemp("idx_serve"))
+    write_index(docs_df, postings_df, path, buckets=8)
+    postings2, docs2, buckets = read_index(spark, path)
+    mem = S.ServingIndex(postings2, docs2, buckets=buckets)
+    disk = S.ServingIndex(postings2, docs2, buckets=buckets, layout="disk")
+    try:
+        for q in ["granite harbor", "lantern", "apple bridge circuit dawn",
+                  "zzznotaword"]:
+            want = [
+                r.asDict()
+                for r in S.search(
+                    postings2, docs2, q, buckets=buckets
+                ).collect()
+            ]
+            assert mem.query(q) == want, ("memory", q)
+            assert disk.query(q) == want, ("disk", q)
+    finally:
+        mem.close()
+        disk.close()

@@ -221,7 +221,26 @@ class ServingIndex:
         buckets: int | None = None,
         pages: DataFrame | None = None,
         covering: bool = True,
+        layout: str = "memory",
+        disk_dir: str | None = None,
     ):
+        """``layout="memory"`` (default) persists the serving table in
+        the Spark cache — fastest at small/mid index sizes, but
+        InMemoryTableScan launches a task per cache partition
+        regardless of filter selectivity, so warm latency grows with
+        per-bucket postings volume (measured: a zero-match token
+        filter costs a full scan). ``layout="disk"`` writes the
+        serving table ONCE as token-sorted parquet partitioned by
+        token_bucket with 2 MB row groups: queries then prune to the
+        token buckets' directories AND row-group-skip on the token
+        min/max stats — measured p50 569 ms vs ~700 ms memory at
+        600k pages / 116M postings, and SUB-LINEAR in index size (4×
+        data → 2.1× latency) — the shape that holds at 100 TB, where
+        the serving tier reads bucket-pruned, stat-skipped
+        parquet/Iceberg partitions instead of caching the index
+        (BENCH/BASELINE.md §r5). Disk layout requires ``buckets``
+        (the written index's token_bucket column)."""
+        import tempfile
         import uuid
 
         self._spark = postings.sparkSession
@@ -229,6 +248,11 @@ class ServingIndex:
         uid = uuid.uuid4().hex[:12]
         self._pview = f"serve_postings_{uid}"
         self._dview: str | None = None
+        self._disk_dir: str | None = None
+        if layout not in ("memory", "disk"):
+            raise ValueError(f"unknown ServingIndex layout {layout!r}")
+        if layout == "disk" and buckets is None:
+            raise ValueError("layout='disk' needs the index bucket count")
         if covering:
             serve = postings.join(
                 docs.select("doc_id", "url", "title"), "doc_id"
@@ -241,10 +265,27 @@ class ServingIndex:
             )
             self._spark.table(self._dview).count()
         self.covering = covering
-        serve = serve.persist()
-        serve.createOrReplaceTempView(self._pview)
-        serve.count()  # materialize the resident cache now
-        self._serve = serve
+        if layout == "disk":
+            self._disk_dir = disk_dir or tempfile.mkdtemp(
+                prefix="serve_idx_disk_"
+            )
+            (
+                serve.repartition(F.col("token_bucket"))
+                .sortWithinPartitions("token", "doc_id")
+                .write.mode("overwrite")
+                .option("parquet.block.size", 2 * 1024 * 1024)
+                .partitionBy("token_bucket")
+                .parquet(self._disk_dir)
+            )
+            serve = self._spark.read.parquet(self._disk_dir)
+            serve.createOrReplaceTempView(self._pview)
+            self._serve = serve
+        else:
+            serve = serve.persist()
+            serve.createOrReplaceTempView(self._pview)
+            serve.count()  # materialize the resident cache now
+            self._serve = serve
+        self._layout = layout
         self._pages = None
         if pages is not None:
             self._pages = pages.persist()
@@ -339,8 +380,14 @@ class ServingIndex:
         return out
 
     def close(self) -> None:
-        """Release resident state (cache blocks + temp views)."""
-        self._serve.unpersist()
+        """Release resident state (cache blocks / spill files + temp
+        views)."""
+        if self._layout == "memory":
+            self._serve.unpersist()
+        elif self._disk_dir is not None:
+            import shutil
+
+            shutil.rmtree(self._disk_dir, ignore_errors=True)
         self._spark.catalog.dropTempView(self._pview)
         if self._dview is not None:
             self._spark.table(self._dview).unpersist()
