@@ -266,25 +266,12 @@ def setup_frontier_state(spark: SparkSession, n: int) -> dict:
         log_df = ttl_log
 
         def seen_view(restrict=None):  # noqa: F811 — callable form
-            lg = log_df
-            if restrict is not None:
-                lg = lg.join(
-                    F.broadcast(restrict.select("url_key")),
-                    "url_key",
-                    "left_semi",
-                )
-            agg = lg.groupBy("url_key").agg(
-                F.max("round").alias("_mr"),
-                F.max(F.when(F.col("is_fetch"), F.col("round"))).alias(
-                    "_fr"
-                ),
-            )
-            expired = (
-                F.col("_fr").isNotNull()
-                & (F.col("_mr") == F.col("_fr"))
-                & (F.col("_fr") < F.lit(cut))
-            )
-            return agg.filter(~expired).select("url_key")
+            # the engine's OWN rule (operators/seen.ttl_live_agg) —
+            # a bench-local copy would silently desynchronize the
+            # published numbers from the engine predicate
+            return seen_ops.ttl_live_agg(
+                log_df, cut, restrict=restrict
+            ).select("url_key")
 
     return {
         "n": n,

@@ -38,11 +38,11 @@ def main() -> None:
     ap.add_argument(
         "--serve",
         action="store_true",
-        help="resident serving mode: persist the loaded index once, "
-        "answer queries via the driver-side warm path "
-        "(plans/search.search_rows), and report per-query latency_ms "
-        "in each JSON line — the analog of the reference's long-lived "
-        "search process (start_search_engine.py:14-27)",
+        help="resident serving mode: materialize the covering "
+        "ServingIndex once (plans/search.ServingIndex — one job per "
+        "warm query), answer queries from it, and report per-query "
+        "latency_ms in each JSON line — the analog of the reference's "
+        "long-lived search process (start_search_engine.py:14-27)",
     )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()

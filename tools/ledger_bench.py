@@ -120,24 +120,17 @@ def main() -> None:
     plain = spark.read.parquet(plain_path)
     bucketed = spark.table("t_ledger_bench")
     if args.ttl:
-        # the engine's TTL liveness view (plans/crawl.py _seen_keys):
-        # expired iff latest row is a fetch older than the cut
+        # the engine's OWN TTL liveness rule (operators/seen.py
+        # ttl_live_agg — shared, so the measured predicate can never
+        # drift from the engine's): expired iff latest row is a
+        # fetch older than the cut
+        from web_crawler_search_engine_spark.operators.seen import (
+            ttl_live_agg,
+        )
+
         cut = 10 - 4
-
-        def liveness(src):
-            agg = src.groupBy("url_key").agg(
-                F.max("round").alias("_mr"),
-                F.max(F.when(F.col("is_fetch"), F.col("round"))).alias("_fr"),
-            )
-            expired = (
-                F.col("_fr").isNotNull()
-                & (F.col("_mr") == F.col("_fr"))
-                & (F.col("_fr") < F.lit(cut))
-            )
-            return agg.filter(~expired).select("url_key")
-
-        plain = liveness(plain)
-        bucketed = liveness(bucketed)
+        plain = ttl_live_agg(plain, cut).select("url_key")
+        bucketed = ttl_live_agg(bucketed, cut).select("url_key")
     else:
         plain = plain.select("url_key")
         bucketed = bucketed.select("url_key")

@@ -108,6 +108,39 @@ def or_words(words: DataFrame, delta_words: DataFrame) -> DataFrame:
     )
 
 
+def ttl_live_agg(log, cut: int, restrict=None):
+    """THE TTL liveness rule, shared by every consumer (engine seen
+    view, ledger compaction, and both benches — a private copy in any
+    of them would silently desynchronize published measurements from
+    the engine): over status rows ``(url_key, round, is_fetch)``, a
+    key is LIVE unless its latest row is a fetch older than ``cut``
+    (probe_round - ttl). Returns the live keys' aggregate rows
+    ``(url_key, _mr, _fr)`` — max round and max fetch round — so
+    callers needing only membership select url_key, and the ledger
+    compactor rebuilds its 2-row compact form from _mr/_fr.
+    ``restrict`` (broadcast-bounded) semi-joins the log BELOW the
+    aggregate — valid because a key's liveness depends only on its
+    own rows; Catalyst cannot do this pushdown itself (the expiry
+    Filter on top blocks PushDownLeftSemiAntiJoin — plan-locked in
+    tests/unit/test_plans.py)."""
+    from pyspark.sql import functions as F
+
+    if restrict is not None:
+        log = log.join(
+            F.broadcast(restrict.select("url_key")), "url_key", "left_semi"
+        )
+    agg = log.groupBy("url_key").agg(
+        F.max("round").alias("_mr"),
+        F.max(F.when(F.col("is_fetch"), F.col("round"))).alias("_fr"),
+    )
+    expired = (
+        F.col("_fr").isNotNull()
+        & (F.col("_mr") == F.col("_fr"))
+        & (F.col("_fr") < F.lit(cut))
+    )
+    return agg.filter(~expired)
+
+
 def with_maybe_seen(
     batch: DataFrame,
     words: DataFrame,

@@ -296,6 +296,12 @@ class CrawlJob:
         self._ledger_id = hashlib.md5(str(ckpt).encode()).hexdigest()[:12]
         self._ledger_version: int | None = None
         self._ledger_buckets: int | None = None
+        # a superseded version awaiting retirement — set when a
+        # row-form flip reseeds a fresh version; retired only AFTER
+        # the commit that publishes the replacement (retiring earlier
+        # would leave a crash window where the manifest still points
+        # at the deleted version)
+        self._ledger_retire_pending: int | None = None
         # admission-window bucket pruning is valid only while the
         # stored pending_log layout matches THIS config's bucket math
         # (resume() clears it on mismatch; compaction restores it)
@@ -518,25 +524,14 @@ class CrawlJob:
         keys physically leave ledger storage (the same claim the
         counting cuckoo makes at its compaction)."""
         cut = probe_round - self.config.recrawl_ttl
-        agg = (
-            self._log()
-            .select(
+        live = seen_ops.ttl_live_agg(
+            self._log().select(
                 "url_key",
                 "round",
                 (F.col("status") == "fetched").alias("is_fetch"),
-            )
-            .groupBy("url_key")
-            .agg(
-                F.max("round").alias("_mr"),
-                F.max(F.when(F.col("is_fetch"), F.col("round"))).alias("_fr"),
-            )
+            ),
+            cut,
         )
-        expired = (
-            F.col("_fr").isNotNull()
-            & (F.col("_mr") == F.col("_fr"))
-            & (F.col("_fr") < F.lit(cut))
-        )
-        live = agg.filter(~expired)
         fetches = live.filter(F.col("_fr").isNotNull()).select(
             "url_key",
             F.col("_fr").cast("int").alias("round"),
@@ -571,6 +566,9 @@ class CrawlJob:
         v = prev
         if v is not None and meta.get("ttl", False) != self._ledger_ttl():
             v = None  # other row form on disk: reseed a fresh version
+            # the old form's files+table are retired after the next
+            # round commit publishes the fresh version (see run_round)
+            self._ledger_retire_pending = prev
         # appends MUST use the bucket count the live version was
         # WRITTEN with (a mismatched bucketBy spec is a write error);
         # a changed config takes effect at the next compaction, which
@@ -679,28 +677,11 @@ class CrawlJob:
                     "round",
                     (F.col("status") == "fetched").alias("is_fetch"),
                 )
-            if restrict_to is not None:
-                # manual semi-pushdown below the aggregate (valid —
-                # a key's liveness depends only on its own rows); the
-                # caller guarantees the restriction set is broadcast-
-                # bounded (it is the accel maybe set)
-                lg = lg.join(
-                    F.broadcast(restrict_to.select("url_key")),
-                    "url_key",
-                    "left_semi",
-                )
-            agg = lg.groupBy("url_key").agg(
-                F.max("round").alias("_mr"),
-                F.max(F.when(F.col("is_fetch"), F.col("round"))).alias(
-                    "_fr"
-                ),
-            )
-            expired = (
-                F.col("_fr").isNotNull()
-                & (F.col("_mr") == F.col("_fr"))
-                & (F.col("_fr") < F.lit(cut))
-            )
-            return agg.filter(~expired).select("url_key")
+            # restrict_to: the accel maybe set (broadcast-bounded),
+            # pushed below the aggregate inside the shared rule
+            return seen_ops.ttl_live_agg(
+                lg, cut, restrict=restrict_to
+            ).select("url_key")
         if self.config.seen_ledger_buckets:
             self._ensure_ledger()
             return (
@@ -1076,21 +1057,29 @@ class CrawlJob:
         #    in the real mapInPandas batch fetcher with identical
         #    output schema (sources/httpfetch.py) — every downstream
         #    stage is shared between modes.
+        fetch_tmp = None
         if cfg.fetch_mode == "http":
             from ..sources.httpfetch import http_fetch
 
             # Live GETs are nondeterministic: persist() alone would let a
             # cache eviction / executor loss recompute the lineage and
             # re-issue requests, so two actions in the same round could
-            # observe different fetch outcomes. localCheckpoint(eager=True)
-            # materializes the batch NOW and severs lineage — a lost block
-            # fails the round loudly instead of silently diverging.
-            fetched = http_fetch(
+            # observe different fetch outcomes. Pin the batch by
+            # WRITE-THEN-READ through the checkpoint dir: every later
+            # action reads the same on-disk rows (deterministic, and a
+            # lost executor re-reads instead of re-fetching), and the
+            # files are deleted deterministically at end-of-round —
+            # unlike localCheckpoint blocks, whose release would wait
+            # on driver GC (Dataset.unpersist can't free them), or a
+            # persist, which can silently recompute.
+            fetch_tmp = str(Path(self.store.root) / "fetch_http" / f"r{r}")
+            http_fetch(
                 admitted,
                 timeout=cfg.fetch_timeout,
                 verify_tls=cfg.fetch_verify_tls,
                 fetch_images=cfg.fetch_images,
-            ).localCheckpoint(eager=True)
+            ).write.mode("overwrite").parquet(fetch_tmp)
+            fetched = self.spark.read.parquet(fetch_tmp)
         else:
             corpus = self.corpus.select(
                 F.col("url_key"),
@@ -1638,6 +1627,30 @@ class CrawlJob:
         ):
             if h is not None:
                 h.unpersist()
+
+        # every action that reads the pinned http fetch batch has run
+        # and the round is committed: free its snapshot files NOW
+        # (deterministic, unlike block-manager cleanup)
+        if fetch_tmp is not None:
+            import shutil
+
+            shutil.rmtree(fetch_tmp, ignore_errors=True)
+
+        # the round commit above published this session's ledger
+        # version: a version superseded by a row-form reseed can now
+        # be retired safely (same publish-then-retire protocol as
+        # _compact)
+        if (
+            cfg.seen_ledger_buckets
+            and self._ledger_retire_pending is not None
+        ):
+            old = self._ledger_retire_pending
+            self._ledger_retire_pending = None
+            retire_ledger_version(
+                self.spark,
+                self._ledger_table(old),
+                self._ledger_path(old),
+            )
 
         # latest-wins compaction: bounds the log read cost at
         # O(frontier + compact_every · delta) (SURVEY §7.7.7)

@@ -212,7 +212,15 @@ class ServingIndex:
     Tokens are alnum-only by construction (_WORD_RE) and quoted
     defensively, so literal inlining is safe. Results are pinned
     bit-for-bit to ``search`` by tests/e2e/test_crawl_chain.py for
-    hit / fallback-hit / miss queries, with and without snippets."""
+    hit / fallback-hit / miss queries, with and without snippets.
+
+    Precondition of the covering form: every postings ``doc_id``
+    appears in ``docs`` (the inner join happens BEFORE scoring here,
+    AFTER it in ``search``). build_index/read_index pairs guarantee
+    this by construction — docs and postings come out of the same
+    build; for foreign inputs that violate it, use
+    ``covering=False``, which scores over raw postings exactly like
+    ``search`` does."""
 
     def __init__(
         self,
@@ -249,6 +257,7 @@ class ServingIndex:
         self._pview = f"serve_postings_{uid}"
         self._dview: str | None = None
         self._disk_dir: str | None = None
+        self._owns_disk_dir = layout == "disk" and disk_dir is None
         if layout not in ("memory", "disk"):
             raise ValueError(f"unknown ServingIndex layout {layout!r}")
         if layout == "disk" and buckets is None:
@@ -384,7 +393,9 @@ class ServingIndex:
         views)."""
         if self._layout == "memory":
             self._serve.unpersist()
-        elif self._disk_dir is not None:
+        elif self._disk_dir is not None and self._owns_disk_dir:
+            # only delete layouts THIS handle created; a caller-supplied
+            # disk_dir is caller-owned (it may be shared or reopened)
             import shutil
 
             shutil.rmtree(self._disk_dir, ignore_errors=True)
