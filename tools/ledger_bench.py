@@ -54,6 +54,16 @@ def main() -> None:
         "plain parquet, both the aggregate and the join shuffle "
         "O(frontier).",
     )
+    ap.add_argument(
+        "--skip-plain",
+        action="store_true",
+        help="measure only the bucketed shape — for ledger sizes "
+        "where materializing the plain copy too would not fit the "
+        "box's disk (the plain side's O(frontier) linearity is "
+        "established by the 24M/240M/960M series; this flag extends "
+        "the BUCKETED series alone toward the 10^10 north_rule "
+        "scale).",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -105,7 +115,8 @@ def main() -> None:
             F.xxhash64("id").alias("url_key"), F.lit(0).alias("round")
         )
     plain_path = tmp + "/plain"
-    keys.repartition(args.buckets, "url_key").write.parquet(plain_path)
+    if not args.skip_plain:
+        keys.repartition(args.buckets, "url_key").write.parquet(plain_path)
     write_bucketed_ledger(
         keys, "t_ledger_bench", tmp + "/bucketed", buckets=args.buckets
     )
@@ -117,7 +128,7 @@ def main() -> None:
     )
     batch.count()
 
-    plain = spark.read.parquet(plain_path)
+    plain = None if args.skip_plain else spark.read.parquet(plain_path)
     bucketed = spark.table("t_ledger_bench")
     if args.ttl:
         # the engine's OWN TTL liveness rule (operators/seen.py
@@ -129,10 +140,12 @@ def main() -> None:
         )
 
         cut = 10 - 4
-        plain = ttl_live_agg(plain, cut).select("url_key")
+        if plain is not None:
+            plain = ttl_live_agg(plain, cut).select("url_key")
         bucketed = ttl_live_agg(bucketed, cut).select("url_key")
     else:
-        plain = plain.select("url_key")
+        if plain is not None:
+            plain = plain.select("url_key")
         bucketed = bucketed.select("url_key")
 
     def run(ledger) -> float:
@@ -140,34 +153,35 @@ def main() -> None:
         batch.join(ledger, "url_key", "left_anti").count()
         return time.monotonic() - t0
 
-    results: dict[str, list[float]] = {"plain": [], "bucketed": []}
+    sides = {"bucketed": bucketed}
+    if plain is not None:
+        sides["plain"] = plain
+    results: dict[str, list[float]] = {k: [] for k in sides}
     # warm both paths once (page cache, code paths), then measure
-    for ledger in (plain, bucketed):
+    for ledger in sides.values():
         batch.join(ledger, "url_key", "left_anti").count()
     for _ in range(args.reps):
-        results["plain"].append(round(run(plain), 3))
-        results["bucketed"].append(round(run(bucketed), 3))
+        for k, ledger in sides.items():
+            results[k].append(round(run(ledger), 3))
 
     mins = {k: min(v) for k, v in results.items()}
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "ttl_cutover_anti_join_sec"
-                    if args.ttl
-                    else "cutover_anti_join_sec"
-                ),
-                "n_ledger": args.n,
-                "n_batch": args.batch,
-                "cpus": args.cpus,
-                "buckets": args.buckets,
-                "reps": results,
-                "min_plain_sec": mins["plain"],
-                "min_bucketed_sec": mins["bucketed"],
-                "speedup": round(mins["plain"] / mins["bucketed"], 3),
-            }
-        )
-    )
+    out = {
+        "metric": (
+            "ttl_cutover_anti_join_sec"
+            if args.ttl
+            else "cutover_anti_join_sec"
+        ),
+        "n_ledger": args.n,
+        "n_batch": args.batch,
+        "cpus": args.cpus,
+        "buckets": args.buckets,
+        "reps": results,
+        "min_bucketed_sec": mins["bucketed"],
+    }
+    if "plain" in mins:
+        out["min_plain_sec"] = mins["plain"]
+        out["speedup"] = round(mins["plain"] / mins["bucketed"], 3)
+    print(json.dumps(out))
     spark.sql("DROP TABLE IF EXISTS t_ledger_bench")
     spark.stop()
 
