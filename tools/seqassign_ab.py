@@ -129,6 +129,50 @@ def run_shape(shape: str, links, base: int, max_parents: int):
             )
             sig = _consume(new_links)
         cache.unpersist()
+    elif shape == "bcast":
+        # r5 shape: the WIDE rows never shuffle. Cache them at source
+        # partitioning, run the window on a skinny (parent_seq, pos)
+        # projection (tiny exchange), then BROADCAST the (parent_seq,
+        # pos) -> seq map back onto the unshuffled wide cache. Differs
+        # from the refuted "skinny" shape exactly in the join-back:
+        # skinny shuffle-joined the wide rows (so wide rows still paid
+        # an exchange — and lost); here the map rides the broadcast.
+        # Driver state is O(batch) for the map — in the engine this
+        # would be size-gated with the wide shape as fallback.
+        # pay a REAL wide cache write (in the engine the input is the
+        # lazy anti-join output and must be pinned): _copy forces a
+        # distinct analyzed plan, so this is a separate cache entry,
+        # not a no-op re-persist of the harness's pre-cached links
+        wide = links.withColumn("_copy", F.lit(1)).drop("_copy").persist()
+        wide.count()
+        w = Window.partitionBy("parent_seq").orderBy("pos")
+        skinny = (
+            links.select("parent_seq", "pos")
+            .withColumn("_rk", F.row_number().over(w))
+            .persist()
+        )
+        grouped = skinny.groupBy("parent_seq").agg(F.max("_rk").alias("_n"))
+        head = grouped.take(max_parents + 1)
+        cnts = sorted(head, key=lambda r: r["parent_seq"])
+        acc = base
+        offs = []
+        for r in cnts:
+            offs.append((r["parent_seq"], acc))
+            acc += r["_n"]
+        odf = links.sparkSession.createDataFrame(
+            offs, "parent_seq long, _off long"
+        )
+        seq_map = skinny.join(F.broadcast(odf), "parent_seq").select(
+            "parent_seq",
+            "pos",
+            (F.col("_off") + F.col("_rk") - 1).cast("long").alias(
+                "discovery_seq"
+            ),
+        )
+        new_links = wide.join(F.broadcast(seq_map), ["parent_seq", "pos"])
+        sig = _consume(new_links)
+        skinny.unpersist()
+        wide.unpersist()
     elif shape == "skinny":
         w = Window.partitionBy("parent_seq").orderBy("pos")
         skinny = (
